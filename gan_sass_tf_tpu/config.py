@@ -1,0 +1,319 @@
+"""Typed config system + registry with the five contract workload presets.
+
+TPU-native replacement for the reference's hparams constants module
+(reference layer L1, SURVEY.md §1.1; the reference repo family uses a
+module-level constants file + registry decorators — reference structure was
+unmountable, so the binding spec is BASELINE.json:6-12, whose five workload
+configs become the five named presets here):
+
+    2src_toy_cpu      BASELINE.json:7  — 2-source magnitude-mask toy (CPU-runnable)
+    wsj0_logmel       BASELINE.json:8  — log-mel frontend, deeper conv G/D
+    3src_pit          BASELINE.json:9  — 3-source PIT adversarial + L1
+    music_complex_44k BASELINE.json:10 — complex-STFT masks at 44.1 kHz
+    stream_v5e8       BASELINE.json:11 — streaming chunked inference, v5e-8 pjit
+
+All configs are frozen dataclasses so they are hashable → usable as jit
+static args, and trivially serializable into checkpoints for reproducibility
+(SURVEY.md §5.6).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Optional, Tuple
+
+
+# ---------------------------------------------------------------------------
+# Leaf configs
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class DSPConfig:
+    """Audio frontend parameters (reference layer L3)."""
+
+    sample_rate: int = 8000
+    n_fft: int = 256
+    hop_length: int = 64
+    win_length: int = 256          # must equal n_fft for the fused kernels
+    window: str = "hann"           # periodic Hann (matches tf.signal default)
+    feature: str = "logmag"        # "logmag" | "logmel"
+    n_mels: int = 80
+    mask_type: str = "magnitude"   # "magnitude" | "complex"
+    mask_activation: str = "sigmoid"  # "sigmoid" | "softmax" (over sources)
+    eps: float = 1e-8
+    backend: str = "auto"          # "auto" | "pallas" | "xla" DSP kernel backend
+
+    @property
+    def n_bins(self) -> int:
+        return self.n_fft // 2 + 1
+
+    @property
+    def feature_dim(self) -> int:
+        return self.n_mels if self.feature == "logmel" else self.n_bins
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Generator/discriminator selection + sizes (reference layer L5)."""
+
+    generator: str = "conv"        # registry key: "toy" | "conv" | "bilstm"
+    discriminator: str = "conv"    # registry key
+    g_channels: Tuple[int, ...] = (32, 64, 128)
+    g_hidden: int = 256            # BiLSTM hidden / toy MLP width
+    g_layers: int = 2              # BiLSTM stack depth
+    d_channels: Tuple[int, ...] = (32, 64, 128)
+    d_norm: str = "batch"          # "batch" | "group" | "none"
+    leak: float = 0.2              # LeakyReLU slope (reference D stack, BASELINE.json:5)
+    dropout: float = 0.0
+    param_dtype: str = "float32"
+    compute_dtype: str = "float32"  # "bfloat16" for TPU speed path
+
+
+@dataclass(frozen=True)
+class LossConfig:
+    """Loss composition (reference layer L4)."""
+
+    gan_loss: str = "lsgan"        # "ns" | "lsgan" | "hinge"
+    recon_loss: str = "l1"         # "l1" | "mse"
+    recon_domain: str = "spec"     # "spec" | "wav"
+    recon_weight: float = 100.0
+    adv_weight: float = 1.0
+    use_pit: bool = True           # permutation-invariant matching (BASELINE.json:9)
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 8            # global batch (split over the data mesh axis)
+    g_lr: float = 2e-4
+    d_lr: float = 2e-4
+    beta1: float = 0.5
+    beta2: float = 0.999
+    d_steps: int = 1               # D updates per G update (alternating schedule)
+    grad_clip: float = 5.0
+    total_steps: int = 100_000
+    log_every: int = 50
+    ckpt_every: int = 1000
+    eval_every: int = 1000
+    seed: int = 0
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    dataset: str = "synthetic"     # "synthetic" | "wav_dir"
+    data_dir: str = ""             # corpus root for "wav_dir"
+    num_sources: int = 2           # speakers mixed per example
+    num_noise: int = 0             # additional noise sources
+    segment_seconds: float = 2.0
+    gain_jitter_db: float = 3.0    # random per-source gain for mixing
+    snr_db: float = 10.0           # noise SNR when num_noise > 0
+
+    def segment_samples(self, sample_rate: int, hop: int, n_fft: int) -> int:
+        """Segment length in samples, snapped to the STFT frame grid so the
+        frame count is exact (T = n_fft + k*hop for integer k ≥ 0)."""
+        t = int(self.segment_seconds * sample_rate)
+        if t < n_fft:
+            return n_fft
+        k = (t - n_fft) // hop
+        return n_fft + k * hop
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh spec (SURVEY.md §2.3/§5.8): 1-D data-parallel over ICI,
+    with an outer dcn axis (size 1 today) so multi-slice is config-only."""
+
+    data_axis_size: int = -1       # -1 → all local devices
+    dcn_axis_size: int = 1
+    data_axis_name: str = "data"
+    dcn_axis_name: str = "dcn"
+
+
+@dataclass(frozen=True)
+class StreamConfig:
+    """Chunked streaming inference (BASELINE.json:11, SURVEY.md §5.7)."""
+
+    chunk_seconds: float = 1.0
+    overlap_frames: int = 4        # cross-fade overlap, in STFT hops
+    batch_chunks: int = 8          # chunks batched per pjit dispatch
+
+
+@dataclass(frozen=True)
+class Config:
+    name: str = "2src_toy_cpu"
+    dsp: DSPConfig = field(default_factory=DSPConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    stream: StreamConfig = field(default_factory=StreamConfig)
+
+    @property
+    def segment_samples(self) -> int:
+        return self.data.segment_samples(
+            self.dsp.sample_rate, self.dsp.hop_length, self.dsp.n_fft
+        )
+
+    @property
+    def num_frames(self) -> int:
+        return 1 + (self.segment_samples - self.dsp.n_fft) // self.dsp.hop_length
+
+    # -- serialization (checkpoint fingerprinting, SURVEY.md §5.4) ---------
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), sort_keys=True)
+
+    @staticmethod
+    def from_json(text: str) -> "Config":
+        raw = json.loads(text)
+        return Config(
+            name=raw["name"],
+            dsp=DSPConfig(**raw["dsp"]),
+            model=ModelConfig(**{k: tuple(v) if isinstance(v, list) else v
+                                 for k, v in raw["model"].items()}),
+            loss=LossConfig(**raw["loss"]),
+            train=TrainConfig(**raw["train"]),
+            data=DataConfig(**raw["data"]),
+            mesh=MeshConfig(**raw["mesh"]),
+            stream=StreamConfig(**raw["stream"]),
+        )
+
+    def fingerprint(self) -> str:
+        import hashlib
+
+        return hashlib.sha256(self.to_json().encode()).hexdigest()[:16]
+
+    def replace(self, **kw: Any) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+_CONFIGS: Dict[str, Callable[[], Config]] = {}
+
+
+def register_config(name: str) -> Callable[[Callable[[], Config]], Callable[[], Config]]:
+    def deco(fn: Callable[[], Config]) -> Callable[[], Config]:
+        if name in _CONFIGS:
+            raise ValueError(f"duplicate config name: {name}")
+        _CONFIGS[name] = fn
+        return fn
+
+    return deco
+
+
+def get_config(name: str, **overrides: Any) -> Config:
+    """Fetch a preset by name; keyword overrides replace top-level sections
+    (e.g. get_config('2src_toy_cpu', train=TrainConfig(batch_size=4)))."""
+    if name not in _CONFIGS:
+        raise KeyError(f"unknown config {name!r}; have {sorted(_CONFIGS)}")
+    cfg = _CONFIGS[name]()
+    if overrides:
+        cfg = dataclasses.replace(cfg, **overrides)
+    return cfg
+
+
+def list_configs() -> Tuple[str, ...]:
+    return tuple(sorted(_CONFIGS))
+
+
+# ---------------------------------------------------------------------------
+# The five contract presets (BASELINE.json:7-11)
+# ---------------------------------------------------------------------------
+
+
+@register_config("2src_toy_cpu")
+def _toy() -> Config:
+    """2-source magnitude-STFT mask G + small conv D, toy LibriSpeech-like
+    mixtures, CPU-runnable (BASELINE.json:7)."""
+    return Config(
+        name="2src_toy_cpu",
+        dsp=DSPConfig(sample_rate=8000, n_fft=256, hop_length=64,
+                      win_length=256, feature="logmag", mask_type="magnitude"),
+        model=ModelConfig(generator="conv", discriminator="conv",
+                          g_channels=(16, 32), d_channels=(16, 32)),
+        loss=LossConfig(use_pit=True),
+        train=TrainConfig(batch_size=4),
+        data=DataConfig(dataset="synthetic", num_sources=2,
+                        segment_seconds=1.0),
+    )
+
+
+@register_config("wsj0_logmel")
+def _wsj0() -> Config:
+    """Log-mel frontend + deeper conv G/D on WSJ0-2mix-style mixtures
+    (BASELINE.json:8)."""
+    return Config(
+        name="wsj0_logmel",
+        dsp=DSPConfig(sample_rate=8000, n_fft=512, hop_length=128,
+                      win_length=512, feature="logmel", n_mels=80,
+                      mask_type="magnitude"),
+        model=ModelConfig(generator="conv", discriminator="conv",
+                          g_channels=(32, 64, 128), d_channels=(32, 64, 128)),
+        loss=LossConfig(use_pit=True),
+        train=TrainConfig(batch_size=16),
+        data=DataConfig(dataset="wav_dir", num_sources=2,
+                        segment_seconds=3.0),
+    )
+
+
+@register_config("3src_pit")
+def _3src() -> Config:
+    """3-source separation, permutation-invariant adversarial + L1 loss
+    (BASELINE.json:9)."""
+    return Config(
+        name="3src_pit",
+        dsp=DSPConfig(sample_rate=8000, n_fft=512, hop_length=128,
+                      win_length=512, feature="logmag", mask_type="magnitude",
+                      mask_activation="softmax"),
+        model=ModelConfig(generator="bilstm", discriminator="conv",
+                          g_hidden=300, g_layers=2,
+                          d_channels=(32, 64, 128)),
+        loss=LossConfig(use_pit=True, recon_loss="l1"),
+        train=TrainConfig(batch_size=16),
+        data=DataConfig(dataset="synthetic", num_sources=3,
+                        segment_seconds=3.0),
+    )
+
+
+@register_config("music_complex_44k")
+def _music() -> Config:
+    """Music separation (vocals/accompaniment), complex-STFT masks at
+    44.1 kHz (BASELINE.json:10)."""
+    return Config(
+        name="music_complex_44k",
+        dsp=DSPConfig(sample_rate=44100, n_fft=2048, hop_length=512,
+                      win_length=2048, feature="logmag", mask_type="complex"),
+        model=ModelConfig(generator="conv", discriminator="conv",
+                          g_channels=(32, 64, 128, 256),
+                          d_channels=(32, 64, 128, 256)),
+        loss=LossConfig(use_pit=False, recon_loss="l1"),
+        train=TrainConfig(batch_size=8),
+        data=DataConfig(dataset="synthetic", num_sources=2,
+                        segment_seconds=3.0),
+    )
+
+
+@register_config("stream_v5e8")
+def _stream() -> Config:
+    """Streaming chunked overlap-add inference, batched pjit across a v5e-8
+    data mesh (BASELINE.json:11)."""
+    return Config(
+        name="stream_v5e8",
+        dsp=DSPConfig(sample_rate=16000, n_fft=512, hop_length=128,
+                      win_length=512, feature="logmag", mask_type="magnitude"),
+        model=ModelConfig(generator="conv", discriminator="conv",
+                          g_channels=(32, 64, 128), d_channels=(32, 64, 128)),
+        loss=LossConfig(use_pit=True),
+        train=TrainConfig(batch_size=32),
+        data=DataConfig(dataset="synthetic", num_sources=2,
+                        segment_seconds=2.0),
+        mesh=MeshConfig(data_axis_size=8),
+        stream=StreamConfig(chunk_seconds=1.0, overlap_frames=4,
+                            batch_chunks=8),
+    )
