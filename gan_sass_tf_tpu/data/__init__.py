@@ -1,0 +1,28 @@
+"""Data layer (reference layer L2, SURVEY.md §3.3).
+
+Split of responsibilities (the north-star's "no host round-trips",
+BASELINE.json:5): the host only decodes/samples raw source waveforms into
+fixed-shape (B, S, T) float32 batches; trim/pad/gain-jitter/mixing all happen
+on device inside the fused train step (`mixer.mix_sources`).
+
+Datasets:
+    "synthetic" — deterministic synthetic speakers (harmonic stacks + noise);
+                  no corpus download needed (zero-egress environment,
+                  SURVEY.md §7.3)
+    "wav_dir"   — LibriSpeech/WSJ0-style corpus tree: root/<speaker>/*.wav
+"""
+
+from gan_sass_tf_tpu.data.synthetic import SyntheticDataset
+from gan_sass_tf_tpu.data.corpus import WavDirDataset
+from gan_sass_tf_tpu.data.mixer import mix_sources
+
+
+def make_dataset(cfg, seed: int = 0):
+    if cfg.data.dataset == "synthetic":
+        return SyntheticDataset(cfg, seed=seed)
+    if cfg.data.dataset == "wav_dir":
+        return WavDirDataset(cfg, seed=seed)
+    raise ValueError(f"unknown dataset {cfg.data.dataset!r}")
+
+
+__all__ = ["SyntheticDataset", "WavDirDataset", "mix_sources", "make_dataset"]

@@ -1,0 +1,56 @@
+"""Conv/BN/LeakyReLU discriminator stack (reference layer L5, BASELINE.json:5).
+
+Classifies (mixture features, candidate-source spectrogram) pairs as real
+(ground-truth source) vs fake (separated estimate).  Input layout
+(B, T, F, C) with C = 2 channels: the mixture log-magnitude and the
+candidate's log-magnitude, both over linear STFT bins.
+
+Norm options: "batch" (the reference's BN; carries batch_stats mutable
+collection), "group" (stateless — plays nicer with sharded jit since there
+are no cross-step running stats), "none".
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from gan_sass_tf_tpu.models.registry import register_discriminator
+
+
+@register_discriminator("conv")
+def _conv(cfg):
+    return ConvDiscriminator(
+        channels=cfg.model.d_channels,
+        norm=cfg.model.d_norm,
+        leak=cfg.model.leak,
+    )
+
+
+class ConvDiscriminator(nn.Module):
+    channels: Sequence[int] = (32, 64, 128)
+    norm: str = "batch"
+    leak: float = 0.2
+
+    def _norm(self, x: jax.Array, train: bool) -> jax.Array:
+        if self.norm == "batch":
+            return nn.BatchNorm(use_running_average=not train)(x)
+        if self.norm == "group":
+            return nn.GroupNorm(num_groups=min(8, x.shape[-1]))(x)
+        if self.norm == "none":
+            return x
+        raise ValueError(f"unknown norm {self.norm!r}")
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        """(B, T, F, C) -> (B,) real/fake logits."""
+        for i, c in enumerate(self.channels):
+            x = nn.Conv(c, (4, 4), strides=(2, 2))(x)
+            if i > 0:  # reference convention: no norm on the first conv
+                x = self._norm(x, train)
+            x = nn.leaky_relu(x, self.leak)
+        x = jnp.mean(x, axis=(1, 2))          # global average pool (B, C)
+        return nn.Dense(1)(x)[..., 0]

@@ -1,0 +1,190 @@
+"""Spectral-masking generator zoo (reference layer L5, BASELINE.json:5).
+
+The generator maps mixture features (log-magnitude or log-mel spectrogram,
+shape (B, T, F_feat)) to per-source time-frequency masks over the *linear*
+STFT bins:
+
+    magnitude masks: (B, S, T, n_bins)        in [0, 1]
+    complex masks:   (B, S, T, n_bins, 2)     tanh-bounded (re, im)
+
+Variants (registry keys):
+    "toy"    — per-frame MLP (the CPU-runnable toy of BASELINE.json:7)
+    "conv"   — conv U-Net over the (T, F) grid (frequency-strided, so the
+               time axis stays arbitrary/static-shape friendly)
+    "bilstm" — stacked bidirectional LSTM over frames (the classic
+               separation mask net; BASELINE.json:9 uses it for 3-source PIT)
+
+TPU-first notes: everything is static-shaped; convs/matmuls carry the FLOPs
+(MXU); the BiLSTM uses flax's scan-based RNN (lax.scan under jit — no python
+loops in the compiled graph).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from gan_sass_tf_tpu.dsp.masks import mask_channels
+from gan_sass_tf_tpu.models.registry import register_generator
+
+
+def _standardize(x: jax.Array, axes, eps: float = 1e-5) -> jax.Array:
+    """Per-example feature standardization (training stability; replaces the
+    reference's host-side feature normalization with an in-graph op)."""
+    mu = jnp.mean(x, axis=axes, keepdims=True)
+    var = jnp.var(x, axis=axes, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps)
+
+
+class MaskHead(nn.Module):
+    """Shared output head: hidden features -> per-source masks over linear
+    STFT bins, with the mask nonlinearity from DSPConfig."""
+
+    num_sources: int
+    n_bins: int
+    mask_type: str          # "magnitude" | "complex"
+    mask_activation: str    # "sigmoid" | "softmax"
+    feat_is_linear: bool    # True when F_feat == n_bins (1x1 conv head ok)
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, h: jax.Array) -> jax.Array:
+        # h: (B, T, F_feat, C) or (B, T, D)
+        s, mc = self.num_sources, mask_channels(self.mask_type)
+        if h.ndim == 4 and self.feat_is_linear and h.shape[2] == self.n_bins:
+            out = nn.Conv(s * mc, (1, 1), param_dtype=self.param_dtype)(h)
+            out = out.reshape(*out.shape[:3], s, mc)           # (B,T,K,S,mc)
+            out = jnp.moveaxis(out, 3, 1)                       # (B,S,T,K,mc)
+        else:
+            if h.ndim == 4:
+                h = h.reshape(*h.shape[:2], -1)                 # (B,T,F*C)
+            out = nn.Dense(s * self.n_bins * mc, param_dtype=self.param_dtype)(h)
+            out = out.reshape(*out.shape[:2], s, self.n_bins, mc)
+            out = jnp.moveaxis(out, 2, 1)                       # (B,S,T,K,mc)
+        if self.mask_type == "complex":
+            return jnp.tanh(out)                                # (B,S,T,K,2)
+        out = out[..., 0]                                       # (B,S,T,K)
+        if self.mask_activation == "softmax":
+            return jax.nn.softmax(out, axis=1)                  # over sources
+        return jax.nn.sigmoid(out)
+
+
+@register_generator("toy")
+def _toy(cfg):
+    return ToyMLPGenerator(
+        num_sources=cfg.data.num_sources,
+        n_bins=cfg.dsp.n_bins,
+        mask_type=cfg.dsp.mask_type,
+        mask_activation=cfg.dsp.mask_activation,
+        hidden=cfg.model.g_hidden,
+    )
+
+
+class ToyMLPGenerator(nn.Module):
+    num_sources: int
+    n_bins: int
+    mask_type: str
+    mask_activation: str
+    hidden: int = 256
+
+    @nn.compact
+    def __call__(self, feats: jax.Array, train: bool = False) -> jax.Array:
+        h = _standardize(feats, axes=(1, 2))
+        h = nn.Dense(self.hidden)(h)
+        h = nn.relu(h)
+        h = nn.Dense(self.hidden)(h)
+        h = nn.relu(h)
+        return MaskHead(
+            self.num_sources, self.n_bins, self.mask_type,
+            self.mask_activation, feat_is_linear=False,
+        )(h)
+
+
+@register_generator("conv")
+def _conv(cfg):
+    return ConvUNetGenerator(
+        num_sources=cfg.data.num_sources,
+        n_bins=cfg.dsp.n_bins,
+        feature_dim=cfg.dsp.feature_dim,
+        mask_type=cfg.dsp.mask_type,
+        mask_activation=cfg.dsp.mask_activation,
+        channels=cfg.model.g_channels,
+        leak=cfg.model.leak,
+    )
+
+
+class ConvUNetGenerator(nn.Module):
+    """Frequency-strided conv U-Net.  Downsampling only along F keeps the
+    time axis untouched (streaming-friendly; arbitrary frame counts)."""
+
+    num_sources: int
+    n_bins: int
+    feature_dim: int
+    mask_type: str
+    mask_activation: str
+    channels: Sequence[int] = (32, 64, 128)
+    leak: float = 0.2
+
+    @nn.compact
+    def __call__(self, feats: jax.Array, train: bool = False) -> jax.Array:
+        x = _standardize(feats, axes=(1, 2))[..., None]        # (B,T,F,1)
+        skips = []
+        for c in self.channels:
+            x = nn.Conv(c, (3, 3))(x)
+            x = nn.leaky_relu(x, self.leak)
+            skips.append(x)
+            x = nn.Conv(c, (3, 3), strides=(1, 2))(x)          # F/2
+            x = nn.leaky_relu(x, self.leak)
+        x = nn.Conv(self.channels[-1], (3, 3))(x)
+        x = nn.leaky_relu(x, self.leak)
+        for c, skip in zip(reversed(self.channels), reversed(skips)):
+            x = nn.ConvTranspose(c, (3, 3), strides=(1, 2))(x)  # F*2
+            x = x[:, :, : skip.shape[2], :]                     # crop odd dims
+            x = nn.leaky_relu(x, self.leak)
+            x = jnp.concatenate([x, skip], axis=-1)
+            x = nn.Conv(c, (3, 3))(x)
+            x = nn.leaky_relu(x, self.leak)
+        return MaskHead(
+            self.num_sources, self.n_bins, self.mask_type,
+            self.mask_activation,
+            feat_is_linear=(self.feature_dim == self.n_bins),
+        )(x)
+
+
+@register_generator("bilstm")
+def _bilstm(cfg):
+    return BiLSTMGenerator(
+        num_sources=cfg.data.num_sources,
+        n_bins=cfg.dsp.n_bins,
+        mask_type=cfg.dsp.mask_type,
+        mask_activation=cfg.dsp.mask_activation,
+        hidden=cfg.model.g_hidden,
+        layers=cfg.model.g_layers,
+    )
+
+
+class BiLSTMGenerator(nn.Module):
+    """Stacked BiLSTM over frames — lax.scan-based (compiler-friendly loop,
+    SURVEY.md 'no data-dependent Python control flow inside jit')."""
+
+    num_sources: int
+    n_bins: int
+    mask_type: str
+    mask_activation: str
+    hidden: int = 300
+    layers: int = 2
+
+    @nn.compact
+    def __call__(self, feats: jax.Array, train: bool = False) -> jax.Array:
+        h = _standardize(feats, axes=(1, 2))                   # (B,T,F)
+        for _ in range(self.layers):
+            fwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden))
+            bwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden))
+            h = nn.Bidirectional(fwd, bwd)(h)                  # (B,T,2H)
+        return MaskHead(
+            self.num_sources, self.n_bins, self.mask_type,
+            self.mask_activation, feat_is_linear=False,
+        )(h)

@@ -1,0 +1,77 @@
+"""Backend dispatch for the DSP hot ops (SURVEY.md §7.1 step 8).
+
+Selection order for backend="auto": fused Pallas kernels when running on TPU
+and the geometry fits the kernel's constraints; otherwise the pure-XLA path
+(which is also the numerical oracle in tests).  A global override supports
+A/B benchmarking:
+
+    with force_backend("xla"): ...
+"""
+
+from __future__ import annotations
+
+import contextlib
+from typing import Optional
+
+import jax
+
+from gan_sass_tf_tpu.dsp.stft import istft as _xla_istft, stft as _xla_stft
+
+_FORCED: Optional[str] = None
+
+
+@contextlib.contextmanager
+def force_backend(name: Optional[str]):
+    """Force 'xla' or 'pallas' for all dispatched ops within the context."""
+    global _FORCED
+    prev, _FORCED = _FORCED, name
+    try:
+        yield
+    finally:
+        _FORCED = prev
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() not in ("cpu", "gpu")
+    except Exception:
+        return False
+
+
+def _have_pallas_kernels() -> bool:
+    import importlib.util
+
+    return importlib.util.find_spec("gan_sass_tf_tpu.ops.pallas_stft") is not None
+
+
+def _resolve(backend: str, n_fft: int, hop: int) -> str:
+    if _FORCED is not None:
+        return _FORCED
+    if backend in ("xla", "pallas"):
+        return backend
+    # auto: Pallas wants TPU, divisible hop, and DFT matrices that fit VMEM.
+    if (
+        _on_tpu()
+        and n_fft % hop == 0
+        and n_fft <= 1024
+        and _have_pallas_kernels()
+    ):
+        return "pallas"
+    return "xla"
+
+
+def stft(x, n_fft: int, hop: int, window: str = "hann", backend: str = "auto"):
+    if _resolve(backend, n_fft, hop) == "pallas":
+        from gan_sass_tf_tpu.ops.pallas_stft import stft_pallas
+
+        return stft_pallas(x, n_fft, hop, window)
+    return _xla_stft(x, n_fft, hop, window)
+
+
+def istft(spec, n_fft: int, hop: int, window: str = "hann",
+          length: Optional[int] = None, backend: str = "auto"):
+    if _resolve(backend, n_fft, hop) == "pallas":
+        from gan_sass_tf_tpu.ops.pallas_istft import istft_pallas
+
+        return istft_pallas(spec, n_fft, hop, window, length)
+    return _xla_istft(spec, n_fft, hop, window, length, norm="global")

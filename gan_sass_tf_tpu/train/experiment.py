@@ -1,0 +1,233 @@
+"""Experiment driver (reference layer L6, SURVEY.md §2.1 "Training driver"):
+owns the mesh, the jitted train/eval steps, the host data iterator, orbax
+checkpointing with auto-resume (§5.3/§5.4), and the JSONL metrics sink
+(§5.5).
+
+Train-loop shape (SURVEY.md §3.1b): the host only yields raw waveform
+batches; ONE device_put per step is the only host→device crossing; the whole
+mix→STFT→G→D→losses→update pipeline is a single jitted XLA program.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gan_sass_tf_tpu import models
+from gan_sass_tf_tpu.config import Config
+from gan_sass_tf_tpu.data import make_dataset
+from gan_sass_tf_tpu.parallel import (
+    batch_sharding,
+    make_mesh,
+    replicated_sharding,
+)
+from gan_sass_tf_tpu.train.state import TrainState, create_train_state
+from gan_sass_tf_tpu.train.step import (
+    build_eval_step,
+    build_separate_fn,
+    build_train_step,
+)
+from gan_sass_tf_tpu.utils import MetricsWriter, profile_trace
+
+
+class Experiment:
+    def __init__(
+        self,
+        cfg: Config,
+        workdir: Optional[str] = None,
+        mesh=None,
+        resume: bool = True,
+    ):
+        self.cfg = cfg
+        self.workdir = workdir
+        self.mesh = mesh if mesh is not None else make_mesh(cfg.mesh)
+        n_shards = self.mesh.devices.size
+        if cfg.train.batch_size % n_shards != 0:
+            raise ValueError(
+                f"global batch_size {cfg.train.batch_size} must be divisible "
+                f"by the mesh size {n_shards} (dcn×data)"
+            )
+        self.generator = models.build_generator(cfg)
+        self.discriminator = models.build_discriminator(cfg)
+
+        repl = replicated_sharding(self.mesh)
+        bshard = batch_sharding(self.mesh)
+        self._batch_sharding = bshard
+
+        step_fn = build_train_step(cfg, self.generator, self.discriminator)
+        self._train_step = jax.jit(
+            step_fn,
+            in_shardings=(repl, bshard, repl),
+            out_shardings=(repl, repl),
+            donate_argnums=(0,),
+        )
+        eval_fn = build_eval_step(cfg, self.generator)
+        self._eval_step = jax.jit(
+            eval_fn, in_shardings=(repl, bshard, repl), out_shardings=repl
+        )
+        self.separate_fn = jax.jit(
+            build_separate_fn(cfg, self.generator),
+            in_shardings=(repl, bshard),
+            out_shardings=bshard,
+        )
+
+        init_rng = jax.random.PRNGKey(cfg.train.seed)
+        with jax.default_device(jax.devices()[0]):
+            self.state: TrainState = jax.jit(
+                lambda r: create_train_state(
+                    cfg, self.generator, self.discriminator, r
+                ),
+                out_shardings=repl,
+            )(init_rng)
+        self._train_rng = jax.device_put(
+            jax.random.PRNGKey(cfg.train.seed + 1), repl
+        )
+
+        self.dataset = make_dataset(cfg, seed=cfg.train.seed)
+        self.eval_dataset = make_dataset(cfg, seed=cfg.train.seed + 9999)
+        self.metrics = MetricsWriter(
+            os.path.join(workdir, "metrics.jsonl") if workdir else None
+        )
+        self._ckpt_mngr = None
+        if workdir:
+            self._init_checkpointing(resume)
+
+    # ------------------------------------------------------------------
+    # Checkpointing (SURVEY.md §5.4): async orbax, auto-resume, config
+    # fingerprint guard.
+    # ------------------------------------------------------------------
+
+    def _init_checkpointing(self, resume: bool) -> None:
+        import orbax.checkpoint as ocp
+
+        ckpt_dir = os.path.abspath(os.path.join(self.workdir, "checkpoints"))
+        os.makedirs(ckpt_dir, exist_ok=True)
+        cfg_path = os.path.join(self.workdir, "config.json")
+        if os.path.exists(cfg_path):
+            with open(cfg_path) as f:
+                saved = f.read()
+            if saved != self.cfg.to_json():
+                raise ValueError(
+                    f"workdir {self.workdir!r} was created with a different "
+                    "config (fingerprint mismatch); refusing to mix runs"
+                )
+        else:
+            with open(cfg_path, "w") as f:
+                f.write(self.cfg.to_json())
+        self._ckpt_mngr = ocp.CheckpointManager(
+            ckpt_dir,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=3, enable_async_checkpointing=True
+            ),
+        )
+        if resume and self._ckpt_mngr.latest_step() is not None:
+            self.restore()
+
+    def save(self) -> None:
+        if self._ckpt_mngr is None:
+            return
+        import orbax.checkpoint as ocp
+
+        step = int(self.state.step)
+        self._ckpt_mngr.save(
+            step,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardSave(self.state),
+                rng=ocp.args.ArraySave(self._train_rng),
+            ),
+        )
+
+    def restore(self, step: Optional[int] = None) -> None:
+        import orbax.checkpoint as ocp
+
+        step = step if step is not None else self._ckpt_mngr.latest_step()
+        abstract = jax.tree_util.tree_map(
+            ocp.utils.to_shape_dtype_struct, self.state
+        )
+        restored = self._ckpt_mngr.restore(
+            step,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardRestore(abstract),
+                rng=ocp.args.ArrayRestore(self._train_rng),
+            ),
+        )
+        repl = replicated_sharding(self.mesh)
+        self.state = jax.device_put(restored["state"], repl)
+        self._train_rng = jax.device_put(restored["rng"], repl)
+
+    # ------------------------------------------------------------------
+    # Train / eval loops
+    # ------------------------------------------------------------------
+
+    def train(
+        self,
+        num_steps: Optional[int] = None,
+        profile_steps: Optional[tuple] = None,
+        log_fn=None,
+    ) -> Dict[str, float]:
+        cfg = self.cfg
+        total = num_steps if num_steps is not None else cfg.train.total_steps
+        last_metrics: Dict[str, float] = {}
+        t_start = time.perf_counter()
+        samples_per_step = cfg.train.batch_size * self.cfg.segment_samples
+        profiling = False
+        for i in range(total):
+            step_now = int(self.state.step)
+            if profile_steps and self.workdir:
+                if step_now == profile_steps[0] and not profiling:
+                    jax.profiler.start_trace(
+                        os.path.join(self.workdir, "profile")
+                    )
+                    profiling = True
+                if step_now >= profile_steps[1] and profiling:
+                    jax.profiler.stop_trace()
+                    profiling = False
+            sources = self.dataset.batch()
+            sources = jax.device_put(sources, self._batch_sharding)
+            self.state, metrics = self._train_step(
+                self.state, sources, self._train_rng
+            )
+            if (step_now + 1) % cfg.train.log_every == 0 or i == total - 1:
+                last_metrics = {k: float(v) for k, v in metrics.items()}
+                elapsed = time.perf_counter() - t_start
+                mix_sec = (i + 1) * samples_per_step / cfg.dsp.sample_rate
+                last_metrics["mixture_sec_per_sec"] = mix_sec / elapsed
+                self.metrics.write(step_now + 1, last_metrics)
+                if log_fn:
+                    log_fn(step_now + 1, last_metrics)
+            if self.workdir and (step_now + 1) % cfg.train.ckpt_every == 0:
+                self.save()
+            if (step_now + 1) % cfg.train.eval_every == 0:
+                ev = self.evaluate()
+                self.metrics.write(step_now + 1, {"eval_" + k: v for k, v in ev.items()})
+        if profiling:
+            jax.profiler.stop_trace()
+        if self.workdir:
+            self.save()
+            self._ckpt_mngr.wait_until_finished()
+        return last_metrics
+
+    def evaluate(self, num_batches: int = 4) -> Dict[str, float]:
+        repl = replicated_sharding(self.mesh)
+        acc: Dict[str, float] = {}
+        for i in range(num_batches):
+            sources = self.eval_dataset.batch()
+            sources = jax.device_put(sources, self._batch_sharding)
+            rng = jax.device_put(
+                jax.random.PRNGKey(10_000 + i), repl
+            )
+            out = self._eval_step(self.state.g_params, sources, rng)
+            for k, v in out.items():
+                acc[k] = acc.get(k, 0.0) + float(v) / num_batches
+        return acc
+
+    def close(self) -> None:
+        self.metrics.close()
+        if self._ckpt_mngr is not None:
+            self._ckpt_mngr.wait_until_finished()
+            self._ckpt_mngr.close()

@@ -1,0 +1,60 @@
+"""Train state + optimizer construction (reference Experiment's two-optimizer
+G/D setup, SURVEY.md §2.1 "Training driver"; optax replaces the reference's
+native apply-gradients kernels, SURVEY.md §2.2)."""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+
+@flax.struct.dataclass
+class TrainState:
+    """Everything that evolves during training — one pytree, replicated over
+    the mesh, checkpointed as a unit (SURVEY.md §5.4)."""
+
+    step: jax.Array              # int32 scalar
+    g_params: Any
+    d_params: Any
+    d_batch_stats: Any           # {} when the D norm is stateless
+    g_opt_state: Any
+    d_opt_state: Any
+
+
+def make_optimizers(cfg) -> Tuple[optax.GradientTransformation, optax.GradientTransformation]:
+    def tx(lr):
+        return optax.chain(
+            optax.clip_by_global_norm(cfg.train.grad_clip),
+            optax.adam(lr, b1=cfg.train.beta1, b2=cfg.train.beta2),
+        )
+
+    return tx(cfg.train.g_lr), tx(cfg.train.d_lr)
+
+
+def create_train_state(cfg, g, d, rng: jax.Array) -> TrainState:
+    """Initialize G/D params + optimizer states from abstract batch shapes
+    (no data needed — jax.eval_shape-style init, SURVEY.md §3.4)."""
+    b = cfg.train.batch_size
+    t, f_feat = cfg.num_frames, cfg.dsp.feature_dim
+    k = cfg.dsp.n_bins
+    s = cfg.data.num_sources
+    rng_g, rng_d = jax.random.split(rng)
+    feats = jnp.zeros((b, t, f_feat), jnp.float32)
+    g_vars = g.init(rng_g, feats, train=False)
+    d_in = jnp.zeros((b * s, t, k, 2), jnp.float32)
+    d_vars = d.init(rng_d, d_in, train=False)
+    g_tx, d_tx = make_optimizers(cfg)
+    g_params = g_vars["params"]
+    d_params = d_vars["params"]
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        g_params=g_params,
+        d_params=d_params,
+        d_batch_stats=d_vars.get("batch_stats", {}),
+        g_opt_state=g_tx.init(g_params),
+        d_opt_state=d_tx.init(d_params),
+    )

@@ -1,0 +1,212 @@
+"""The fused alternating G/D train step (SURVEY.md §3.1b) — ONE jitted XLA
+program per step covering mixing → STFT → features → G masks → mask·STFT →
+D(real/fake) → PIT + adversarial losses → grads → all-reduce → two optax
+updates.  No host round-trips inside the step (BASELINE.json:5); the
+gradient all-reduce over the 'data' mesh axis is inserted by XLA from the
+sharding constraints (params replicated, batch sharded — SURVEY.md §2.4).
+
+Reference behavior covered (reconstructed call stack, SURVEY.md §3.1):
+alternating D-then-G updates with two optimizers, PIT-aligned adversarial +
+L1 losses (BASELINE.json:9), D over (mixture, candidate) spectrogram pairs.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gan_sass_tf_tpu.data.mixer import mix_sources
+from gan_sass_tf_tpu.dsp import apply_mask, logmag, spec_features
+from gan_sass_tf_tpu.losses import (
+    align_to_perm,
+    gan_d_loss,
+    gan_g_loss,
+    pit_loss,
+    pit_si_sdr,
+    recon_loss,
+)
+from gan_sass_tf_tpu.ops import dispatch as ops
+from gan_sass_tf_tpu.train.state import TrainState, make_optimizers
+
+
+def _d_vars(params, stats):
+    return {"params": params, "batch_stats": stats} if stats else {"params": params}
+
+
+def _g_vars(params):
+    return {"params": params}
+
+
+def build_train_step(cfg, g, d) -> Callable[[TrainState, jax.Array, jax.Array], Tuple[TrainState, Dict[str, jax.Array]]]:
+    """Returns train_step(state, sources (B,S,T) f32, rng) -> (state, metrics).
+
+    jit is applied by the caller (Experiment) together with the mesh
+    shardings; the function itself is pure.
+    """
+    dcfg, lcfg = cfg.dsp, cfg.loss
+    n_fft, hop = dcfg.n_fft, dcfg.hop_length
+    g_tx, d_tx = make_optimizers(cfg)
+    has_bn = cfg.model.d_norm == "batch"
+
+    def g_forward(g_params, feats, spec_mix, train: bool):
+        masks = g.apply(_g_vars(g_params), feats, train=train)
+        est_spec = apply_mask(spec_mix, masks, dcfg.mask_type)
+        est_logmag = logmag(est_spec, dcfg.eps)
+        return masks, est_spec, est_logmag
+
+    def d_input(mix_logmag, cand_logmag):
+        """(B,T,K) mixture + (B,S,T,K) candidates -> (B*S, T, K, 2).
+        D always judges (mixture, candidate) linear log-magnitude pairs."""
+        b, s = cand_logmag.shape[:2]
+        mix_b = jnp.broadcast_to(mix_logmag[:, None], cand_logmag.shape)
+        x = jnp.stack([mix_b, cand_logmag], axis=-1)
+        return x.reshape(b * s, *x.shape[2:])
+
+    def d_apply(d_params, d_stats, x, update_stats: bool):
+        variables = _d_vars(d_params, d_stats)
+        if has_bn:
+            logits, new_vars = d.apply(
+                variables, x, train=True, mutable=["batch_stats"]
+            )
+            # A shallow D may have no BN layer at all (norm starts at layer 1).
+            new_stats = new_vars.get("batch_stats", d_stats)
+            return logits, (new_stats if update_stats else d_stats)
+        return d.apply(variables, x, train=True), d_stats
+
+    def align_targets(est_logmag, tgt_logmag):
+        """PIT match on log-magnitudes; returns targets reordered to the
+        estimate ordering (identity when PIT is off)."""
+        if not lcfg.use_pit:
+            return tgt_logmag, None
+        _, perm = pit_loss(est_logmag, tgt_logmag, lcfg.recon_loss)
+        return align_to_perm(tgt_logmag, perm), perm
+
+    # ---- D update --------------------------------------------------------
+
+    def d_loss_fn(d_params, d_stats, g_params, feats, spec_mix, mix_logmag, tgt_logmag):
+        _, _, est_logmag = g_forward(g_params, feats, spec_mix, train=True)
+        est_logmag = jax.lax.stop_gradient(est_logmag)
+        tgt_aligned, _ = align_targets(est_logmag, tgt_logmag)
+        # Real+fake through one D pass: one big MXU-friendly batch, and BN
+        # stats see the same distribution every step.
+        x = jnp.concatenate(
+            [d_input(mix_logmag, tgt_aligned), d_input(mix_logmag, est_logmag)]
+        )
+        logits, new_stats = d_apply(d_params, d_stats, x, update_stats=True)
+        real, fake = jnp.split(logits, 2)
+        loss = gan_d_loss(real, fake, lcfg.gan_loss)
+        return loss, (new_stats, real.mean(), fake.mean())
+
+    # ---- G update --------------------------------------------------------
+
+    def g_loss_fn(g_params, d_params, d_stats, feats, spec_mix, mix_logmag,
+                  tgt_logmag, tgt_wavs):
+        _, est_spec, est_logmag = g_forward(g_params, feats, spec_mix, train=True)
+        # Reconstruction (PIT over orderings, BASELINE.json:9)
+        if lcfg.recon_domain == "wav":
+            est_r = ops.istft(est_spec, n_fft, hop, window=dcfg.window)
+            tgt_r = tgt_wavs[..., : est_r.shape[-1]]
+        else:
+            est_r, tgt_r = est_logmag, tgt_logmag
+        if lcfg.use_pit:
+            rec_b, _ = pit_loss(est_r, tgt_r, lcfg.recon_loss)
+            rec = rec_b.mean()
+        else:
+            rec = recon_loss(est_r, tgt_r, lcfg.recon_loss)
+        # Adversarial term against the (already-updated) discriminator.
+        fake_logits, _ = d_apply(
+            d_params, d_stats, d_input(mix_logmag, est_logmag), update_stats=False
+        )
+        adv = gan_g_loss(fake_logits, lcfg.gan_loss)
+        loss = lcfg.adv_weight * adv + lcfg.recon_weight * rec
+        return loss, (adv, rec)
+
+    # ---- full step -------------------------------------------------------
+
+    def train_step(state: TrainState, sources: jax.Array, rng: jax.Array):
+        rng = jax.random.fold_in(rng, state.step)
+        rng_mix, _ = jax.random.split(rng)
+        mixture, scaled = mix_sources(sources, rng_mix, cfg.data)
+        spec_mix = ops.stft(mixture, n_fft, hop, window=dcfg.window)
+        feats = spec_features(spec_mix, dcfg)
+        mix_logmag = logmag(spec_mix, dcfg.eps)
+        tgt_spec = ops.stft(scaled, n_fft, hop, window=dcfg.window)
+        tgt_logmag = logmag(tgt_spec, dcfg.eps)
+
+        d_params, d_stats, d_opt = state.d_params, state.d_batch_stats, state.d_opt_state
+        d_loss = jnp.zeros(())
+        real_m = fake_m = jnp.zeros(())
+        for _ in range(cfg.train.d_steps):  # static alternating schedule
+            (d_loss, (d_stats, real_m, fake_m)), d_grads = jax.value_and_grad(
+                d_loss_fn, has_aux=True
+            )(d_params, d_stats, state.g_params, feats, spec_mix, mix_logmag,
+              tgt_logmag)
+            d_updates, d_opt = d_tx.update(d_grads, d_opt, d_params)
+            d_params = jax.tree_util.tree_map(
+                lambda p, u: p + u, d_params, d_updates
+            )
+
+        (g_loss, (adv, rec)), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True
+        )(state.g_params, d_params, d_stats, feats, spec_mix, mix_logmag,
+          tgt_logmag, scaled)
+        g_updates, g_opt = g_tx.update(g_grads, state.g_opt_state, state.g_params)
+        g_params = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.g_params, g_updates
+        )
+
+        new_state = TrainState(
+            step=state.step + 1,
+            g_params=g_params,
+            d_params=d_params,
+            d_batch_stats=d_stats,
+            g_opt_state=g_opt,
+            d_opt_state=d_opt,
+        )
+        metrics = {
+            "d_loss": d_loss,
+            "g_loss": g_loss,
+            "g_adv": adv,
+            "g_recon": rec,
+            "d_real_logit": real_m,
+            "d_fake_logit": fake_m,
+        }
+        return new_state, metrics
+
+    return train_step
+
+
+def build_separate_fn(cfg, g) -> Callable[[Any, jax.Array], jax.Array]:
+    """separate(g_params, mixture (B, T)) -> (B, S, T_grid) wavs — the fused
+    inference graph (SURVEY.md §3.2): stft → G → mask·STFT → iSTFT/OLA."""
+    dcfg = cfg.dsp
+
+    def separate(g_params, mixture):
+        spec = ops.stft(mixture, dcfg.n_fft, dcfg.hop_length, window=dcfg.window)
+        feats = spec_features(spec, dcfg)
+        masks = g.apply(_g_vars(g_params), feats, train=False)
+        est_spec = apply_mask(spec, masks, dcfg.mask_type)
+        return ops.istft(est_spec, dcfg.n_fft, dcfg.hop_length, window=dcfg.window)
+
+    return separate
+
+
+def build_eval_step(cfg, g) -> Callable[[Any, jax.Array, jax.Array], Dict[str, jax.Array]]:
+    """Jitted eval: mix → separate → best-permutation SI-SDR (the contract
+    metric, BASELINE.json:2) plus the input-mixture SI-SDR for reference."""
+    separate = build_separate_fn(cfg, g)
+
+    def eval_step(g_params, sources, rng):
+        mixture, scaled = mix_sources(sources, rng, cfg.data)
+        est = separate(g_params, mixture)
+        t = est.shape[-1]
+        tgt = scaled[..., :t]
+        sisdr = pit_si_sdr(est, tgt).mean()
+        mix_rep = jnp.broadcast_to(mixture[:, None, :t], tgt.shape)
+        baseline = pit_si_sdr(mix_rep, tgt).mean()
+        return {"si_sdr": sisdr, "si_sdr_mix": baseline,
+                "si_sdr_improvement": sisdr - baseline}
+
+    return eval_step

@@ -1,0 +1,100 @@
+"""Model unit tests (SURVEY.md §4.2.2): mask shapes/ranges, D logits,
+gradient-flow smoke tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gan_sass_tf_tpu import config, models
+
+
+def _feats(cfg, b=2, key=0):
+    t = cfg.num_frames
+    return jax.random.normal(
+        jax.random.PRNGKey(key), (b, t, cfg.dsp.feature_dim)
+    )
+
+
+GEN_CASES = [
+    ("2src_toy_cpu", "toy"),
+    ("2src_toy_cpu", "conv"),
+    ("wsj0_logmel", "conv"),       # mel features -> dense head to linear bins
+    ("3src_pit", "bilstm"),        # softmax masks, 3 sources
+    ("music_complex_44k", "conv"),  # complex masks
+]
+
+
+@pytest.mark.parametrize("cfg_name,gen_name", GEN_CASES)
+def test_generator_shapes_and_ranges(cfg_name, gen_name):
+    cfg = config.get_config(cfg_name)
+    cfg = cfg.replace(model=cfg.model.__class__(**{
+        **cfg.model.__dict__, "generator": gen_name}))
+    g = models.build_generator(cfg)
+    feats = _feats(cfg)
+    params = g.init(jax.random.PRNGKey(0), feats)
+    masks = g.apply(params, feats)
+    s, k = cfg.data.num_sources, cfg.dsp.n_bins
+    if cfg.dsp.mask_type == "complex":
+        assert masks.shape == (2, s, cfg.num_frames, k, 2)
+        assert np.abs(np.asarray(masks)).max() <= 1.0 + 1e-6  # tanh-bounded
+    else:
+        assert masks.shape == (2, s, cfg.num_frames, k)
+        m = np.asarray(masks)
+        assert m.min() >= 0.0 and m.max() <= 1.0
+        if cfg.dsp.mask_activation == "softmax":
+            np.testing.assert_allclose(m.sum(axis=1), 1.0, atol=1e-5)
+
+
+def test_generator_grad_flow():
+    cfg = config.get_config("2src_toy_cpu")
+    g = models.build_generator(cfg)
+    feats = _feats(cfg)
+    params = g.init(jax.random.PRNGKey(0), feats)
+
+    def loss(p):
+        return jnp.sum(g.apply(p, feats) ** 2)
+
+    grads = jax.grad(loss)(params)
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert leaves and all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert any(np.abs(np.asarray(l)).max() > 0 for l in leaves)
+
+
+def test_discriminator_logits_and_batch_stats():
+    cfg = config.get_config("2src_toy_cpu")
+    d = models.build_discriminator(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 64, 129, 2))
+    variables = d.init(jax.random.PRNGKey(0), x, train=False)
+    assert "batch_stats" in variables  # reference's BN stack
+    logits, new_state = d.apply(variables, x, train=True, mutable=["batch_stats"])
+    assert logits.shape == (4,)
+    assert np.isfinite(np.asarray(logits)).all()
+    # batch stats actually update in train mode
+    old = jax.tree_util.tree_leaves(variables["batch_stats"])
+    new = jax.tree_util.tree_leaves(new_state["batch_stats"])
+    assert any(
+        np.abs(np.asarray(a) - np.asarray(b)).max() > 0 for a, b in zip(old, new)
+    )
+
+
+def test_discriminator_group_norm_stateless():
+    cfg = config.get_config("2src_toy_cpu")
+    cfg = cfg.replace(model=cfg.model.__class__(**{
+        **cfg.model.__dict__, "d_norm": "group"}))
+    d = models.build_discriminator(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 129, 2))
+    variables = d.init(jax.random.PRNGKey(0), x, train=False)
+    assert "batch_stats" not in variables
+    logits = d.apply(variables, x, train=True)
+    assert logits.shape == (2,)
+
+
+def test_registry_unknown_names():
+    cfg = config.get_config("2src_toy_cpu")
+    bad = cfg.replace(model=cfg.model.__class__(**{
+        **cfg.model.__dict__, "generator": "nope"}))
+    with pytest.raises(KeyError):
+        models.build_generator(bad)
+    assert "conv" in models.list_generators()
+    assert "conv" in models.list_discriminators()
