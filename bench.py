@@ -1,0 +1,89 @@
+"""Benchmark harness (SURVEY.md §4.2.7) — prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Metric: training throughput in mixture-seconds/sec/chip (BASELINE.json:2) on
+the wsj0-style workload (BASELINE.json:8 geometry) on the local default
+backend (the driver runs this on a real TPU chip).
+
+vs_baseline divides by the measured CPU TensorFlow reference throughput
+recorded in baseline_measured.json (produced by scripts/tf_reference_bench.py
+— the reference publishes no numbers, BASELINE.json:13, so the contract's
+">10x CPU-reference training throughput per chip" target is the comparison).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+WARMUP_STEPS = 3
+BENCH_STEPS = 20
+
+
+def main() -> None:
+    import jax
+
+    from gan_sass_tf_tpu import config
+    from gan_sass_tf_tpu.data import make_dataset
+    from gan_sass_tf_tpu.parallel import batch_sharding
+    from gan_sass_tf_tpu.train import Experiment
+
+    cfg = config.get_config("wsj0_logmel")
+    cfg = cfg.replace(
+        data=cfg.data.__class__(**{**cfg.data.__dict__,
+                                   "dataset": "synthetic",
+                                   "segment_seconds": 3.0}),
+        mesh=cfg.mesh.__class__(data_axis_size=-1),
+    )
+    n_chips = len(jax.devices())
+    # global batch scales with chip count; per-chip workload constant
+    per_chip_batch = 16
+    cfg = cfg.replace(
+        train=cfg.train.__class__(**{**cfg.train.__dict__,
+                                     "batch_size": per_chip_batch * n_chips})
+    )
+
+    exp = Experiment(cfg, workdir=None)
+    batch = make_dataset(cfg, seed=0).batch()
+    sources = jax.device_put(batch, batch_sharding(exp.mesh))
+
+    state, rng = exp.state, exp._train_rng
+    for _ in range(WARMUP_STEPS):
+        state, metrics = exp._train_step(state, sources, rng)
+    # NOTE: block_until_ready is a no-op on the remote-relay TPU backend in
+    # this environment; a device→host value fetch is the only true sync.
+    # Fetching an output of step N's executable forces the whole chain.
+    float(metrics["g_loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(BENCH_STEPS):
+        state, metrics = exp._train_step(state, sources, rng)
+    float(metrics["g_loss"])
+    elapsed = time.perf_counter() - t0
+
+    mixture_sec = BENCH_STEPS * cfg.train.batch_size * cfg.segment_samples \
+        / cfg.dsp.sample_rate
+    throughput = mixture_sec / elapsed / n_chips
+
+    vs_baseline = 1.0
+    baseline_path = os.path.join(os.path.dirname(__file__) or ".",
+                                 "baseline_measured.json")
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            base = json.load(f)
+        ref = base.get("cpu_tf_reference_mixture_sec_per_sec")
+        if ref:
+            vs_baseline = throughput / ref
+
+    print(json.dumps({
+        "metric": "train_throughput_mixture_sec_per_sec_per_chip",
+        "value": round(throughput, 2),
+        "unit": "mixture-sec/sec/chip",
+        "vs_baseline": round(vs_baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

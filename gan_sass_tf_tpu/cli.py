@@ -1,0 +1,160 @@
+"""CLI entry point (reference layer L7, SURVEY.md §1.1: `main.py --mode
+train|test/infer` dispatch — here as subcommands).
+
+    python -m gan_sass_tf_tpu.cli train    --config 2src_toy_cpu --workdir runs/toy
+    python -m gan_sass_tf_tpu.cli separate --config 2src_toy_cpu --workdir runs/toy \
+        --input mix.wav --output-dir out/ [--streaming]
+    python -m gan_sass_tf_tpu.cli eval     --config 2src_toy_cpu --workdir runs/toy
+    python -m gan_sass_tf_tpu.cli configs
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from gan_sass_tf_tpu import config as config_lib
+
+
+def _add_common(p):
+    p.add_argument("--config", required=True, help="preset name")
+    p.add_argument("--workdir", default=None, help="run directory (ckpts/metrics)")
+    p.add_argument("--set", action="append", default=[], metavar="SEC.KEY=VAL",
+                   help="config override, e.g. train.batch_size=8")
+
+
+def _apply_overrides(cfg, overrides):
+    import dataclasses
+
+    for item in overrides:
+        path, _, raw = item.partition("=")
+        sec, _, key = path.partition(".")
+        section = getattr(cfg, sec)
+        old = getattr(section, key)  # raises AttributeError on typos
+        typ = type(old)
+        if typ is bool:
+            val = raw.lower() in ("1", "true", "yes")
+        elif typ is tuple:
+            val = tuple(int(x) for x in raw.split(","))
+        elif old is None:
+            val = raw
+        else:
+            val = typ(raw)
+        cfg = cfg.replace(**{sec: dataclasses.replace(section, **{key: val})})
+    return cfg
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="gan_sass_tf_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p_train = sub.add_parser("train", help="run the alternating G/D training loop")
+    _add_common(p_train)
+    p_train.add_argument("--steps", type=int, default=None)
+    p_train.add_argument("--profile-steps", default=None, metavar="A:B",
+                         help="capture a jax.profiler trace for steps [A, B)")
+    p_train.add_argument("--no-resume", action="store_true")
+
+    p_sep = sub.add_parser("separate", help="separate a mixture wav into sources")
+    _add_common(p_sep)
+    p_sep.add_argument("--input", required=True, help="mixture wav path")
+    p_sep.add_argument("--output-dir", required=True)
+    p_sep.add_argument("--streaming", action="store_true",
+                       help="chunked overlap-add streaming mode")
+
+    p_eval = sub.add_parser("eval", help="SI-SDR evaluation on held-out mixtures")
+    _add_common(p_eval)
+    p_eval.add_argument("--batches", type=int, default=8)
+
+    sub.add_parser("configs", help="list available config presets")
+
+    args = parser.parse_args(argv)
+
+    if args.cmd == "configs":
+        for name in config_lib.list_configs():
+            print(name)
+        return 0
+
+    cfg = _apply_overrides(config_lib.get_config(args.config), args.set)
+
+    # For inference/eval against an existing run, the config stored in the
+    # workdir is authoritative (the user shouldn't have to replay every
+    # --set override used at train time).
+    if args.cmd in ("separate", "eval") and args.workdir:
+        import os
+
+        cfg_path = os.path.join(args.workdir, "config.json")
+        if os.path.exists(cfg_path):
+            with open(cfg_path) as f:
+                stored = config_lib.Config.from_json(f.read())
+            if stored.name != cfg.name:
+                print(f"error: workdir was trained with config "
+                      f"{stored.name!r}, not {cfg.name!r}")
+                return 1
+            if args.set:
+                print("note: ignoring --set overrides; using the workdir's "
+                      "stored config")
+            cfg = stored
+
+    from gan_sass_tf_tpu.train import Experiment
+
+    if args.cmd == "train":
+        from gan_sass_tf_tpu.utils.profiler import parse_profile_steps
+
+        exp = Experiment(cfg, workdir=args.workdir, resume=not args.no_resume)
+        prof = parse_profile_steps(args.profile_steps) if args.profile_steps else None
+
+        def log(step, m):
+            print(
+                f"step {step}: g={m['g_loss']:.4f} d={m['d_loss']:.4f} "
+                f"recon={m['g_recon']:.4f} "
+                f"thr={m['mixture_sec_per_sec']:.1f} mix-s/s",
+                flush=True,
+            )
+
+        exp.train(num_steps=args.steps, profile_steps=prof, log_fn=log)
+        exp.close()
+        return 0
+
+    exp = Experiment(cfg, workdir=args.workdir, resume=True)
+    if args.cmd == "eval":
+        out = exp.evaluate(num_batches=args.batches)
+        for k, v in out.items():
+            print(f"{k}: {v:.3f}")
+        exp.close()
+        return 0
+
+    if args.cmd == "separate":
+        if args.streaming:
+            from gan_sass_tf_tpu.infer import separate_streaming
+            from gan_sass_tf_tpu.utils.wav_io import read_wav, write_wav
+            import os
+
+            sr, wav = read_wav(args.input)
+            if sr != cfg.dsp.sample_rate:
+                print(f"error: wav sr {sr} != config sr {cfg.dsp.sample_rate}")
+                return 1
+            srcs = separate_streaming(exp.state.g_params, cfg, wav, mesh=exp.mesh)
+            os.makedirs(args.output_dir, exist_ok=True)
+            stem = os.path.splitext(os.path.basename(args.input))[0]
+            for i, w in enumerate(srcs):
+                path = os.path.join(args.output_dir, f"{stem}_src{i}.wav")
+                write_wav(path, sr, w)
+                print(path)
+        else:
+            from gan_sass_tf_tpu.infer import separate_file
+
+            paths = separate_file(
+                exp.state.g_params, cfg, args.input, args.output_dir,
+                separate_fn=None,
+            )
+            for p in paths:
+                print(p)
+        exp.close()
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,132 @@
+"""Streaming chunked separation (BASELINE.json:11; SURVEY.md §5.7 — this is
+the contract's sequence-length scaling story, replacing attention-style
+CP/ring machinery which the reference does not have).
+
+Pipeline:
+  1. Host slices the long mixture into overlapping chunks aligned to the
+     STFT hop grid (overlap = stream.overlap_frames hops).
+  2. Chunks are batched (stream.batch_chunks) and dispatched through the
+     fused jitted separate graph, the batch dim sharded across the
+     ('dcn','data') mesh — "batched pjit across a v5e-8".
+  3. Per-source chunk outputs are permutation-aligned chunk-to-chunk (a PIT
+     net has no canonical source order; neighbors are matched by L2 on the
+     overlap region — tiny host-side S×S computation per boundary).
+  4. Linear cross-fade + overlap-add reassembles the full waveforms on
+     device via the same scatter-free OLA used by the DSP layer.
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gan_sass_tf_tpu import models
+from gan_sass_tf_tpu.dsp.stft import overlap_add
+from gan_sass_tf_tpu.parallel import batch_sharding, make_mesh, replicated_sharding
+from gan_sass_tf_tpu.train.step import build_separate_fn
+
+
+def _chunk_geometry(cfg, total: int):
+    sr, hop, n_fft = cfg.dsp.sample_rate, cfg.dsp.hop_length, cfg.dsp.n_fft
+    chunk = int(cfg.stream.chunk_seconds * sr)
+    chunk = max(n_fft, n_fft + ((chunk - n_fft) // hop) * hop)  # frame grid
+    overlap = cfg.stream.overlap_frames * hop
+    if overlap >= chunk:
+        raise ValueError(f"overlap {overlap} >= chunk {chunk}")
+    stride = chunk - overlap
+    n_chunks = max(1, -(-(total - overlap) // stride))
+    padded = n_chunks * stride + overlap
+    return chunk, stride, overlap, n_chunks, padded
+
+
+def _align_chunk_permutations(
+    chunks: np.ndarray, stride: int, overlap: int
+) -> np.ndarray:
+    """chunks (N, S, T_c): reorder each chunk's sources to match the previous
+    chunk on the shared overlap region (greedy chain, exact for S ≤ 3 via
+    full permutation search)."""
+    n, s, t_c = chunks.shape
+    if s == 1 or n == 1 or overlap == 0:
+        return chunks
+    perms = list(itertools.permutations(range(s)))
+    out = chunks.copy()
+    for i in range(1, n):
+        prev_tail = out[i - 1, :, stride:]          # (S, overlap)
+        head = out[i, :, :overlap]                   # (S, overlap)
+        best, best_err = None, None
+        for p in perms:
+            err = float(np.sum((head[list(p)] - prev_tail) ** 2))
+            if best_err is None or err < best_err:
+                best, best_err = p, err
+        out[i] = out[i, list(best)]
+    return out
+
+
+def separate_streaming(
+    g_params,
+    cfg,
+    mixture: np.ndarray,
+    mesh=None,
+    separate_fn=None,
+) -> np.ndarray:
+    """Long mixture (T,) float32 → (S, T) separated sources, processed in
+    hop-aligned overlapping chunks batched over the mesh."""
+    mixture = np.asarray(mixture, np.float32)
+    if mixture.ndim != 1:
+        raise ValueError("separate_streaming takes a single (T,) waveform")
+    t_in = mixture.shape[-1]
+    chunk, stride, overlap, n_chunks, padded = _chunk_geometry(cfg, t_in)
+    mesh = mesh if mesh is not None else make_mesh(cfg.mesh)
+    if separate_fn is None:
+        g = models.build_generator(cfg)
+        separate_fn = jax.jit(
+            build_separate_fn(cfg, g),
+            in_shardings=(replicated_sharding(mesh), batch_sharding(mesh)),
+            out_shardings=batch_sharding(mesh),
+        )
+
+    wav = np.pad(mixture, (0, padded - t_in))
+    # (N, chunk) overlapped chunk matrix — same shift-reshape framing trick.
+    idx = np.arange(n_chunks)[:, None] * stride + np.arange(chunk)[None, :]
+    chunks = wav[idx]
+
+    # Batch over the mesh in groups of batch_chunks (pad the tail group).
+    bc = cfg.stream.batch_chunks
+    n_groups = -(-n_chunks // bc)
+    outs = []
+    for gi in range(n_groups):
+        grp = chunks[gi * bc : (gi + 1) * bc]
+        pad_rows = bc - grp.shape[0]
+        if pad_rows:
+            grp = np.pad(grp, ((0, pad_rows), (0, 0)))
+        grp_dev = jax.device_put(jnp.asarray(grp), batch_sharding(mesh))
+        out = np.asarray(separate_fn(g_params, grp_dev))  # (bc, S, T_c)
+        outs.append(out[: bc - pad_rows] if pad_rows else out)
+    est = np.concatenate(outs, axis=0)                    # (N, S, T_c)
+    t_c = est.shape[-1]
+
+    est = _align_chunk_permutations(est, stride, overlap)
+
+    # Linear cross-fade weights: fade-in over the overlap (except chunk 0),
+    # fade-out over the tail overlap (except the last chunk); weights sum
+    # to 1 everywhere.
+    ramp = (np.arange(1, overlap + 1) / (overlap + 1)).astype(np.float32)
+    w = np.ones((n_chunks, t_c), np.float32)
+    w[1:, :overlap] = ramp
+    w[:-1, t_c - overlap :] = ramp[::-1]
+    # t_c may exceed `chunk` slightly?  No: separate_fn output length is the
+    # chunk's frame grid == chunk.  Weighted chunks → scatter-free OLA.
+    weighted = est * w[:, None, :]                        # (N, S, T_c)
+    frames = jnp.asarray(np.moveaxis(weighted, 1, 0))     # (S, N, T_c)
+    if t_c % stride == 0:
+        full = overlap_add(frames, stride)
+    else:
+        # general OLA fallback (stride not dividing chunk length)
+        full = jnp.zeros((frames.shape[0], (n_chunks - 1) * stride + t_c))
+        for i in range(n_chunks):
+            full = full.at[:, i * stride : i * stride + t_c].add(frames[:, i])
+    return np.asarray(full)[..., :t_in]

@@ -1,0 +1,123 @@
+"""Inference tests: public wav-in/wavs-out API (BASELINE.json:5) and the
+streaming chunked overlap-add path (BASELINE.json:11)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from gan_sass_tf_tpu import config, models
+from gan_sass_tf_tpu.infer import separate, separate_file, separate_streaming
+from gan_sass_tf_tpu.utils.wav_io import read_wav, write_wav
+
+
+def _cfg():
+    cfg = config.get_config("2src_toy_cpu")
+    return cfg.replace(
+        model=cfg.model.__class__(**{**cfg.model.__dict__,
+                                     "g_channels": (8, 16)}),
+    )
+
+
+@pytest.fixture(scope="module")
+def g_params():
+    import jax
+
+    cfg = _cfg()
+    g = models.build_generator(cfg)
+    feats = np.zeros((1, 16, cfg.dsp.feature_dim), np.float32)
+    return cfg, g, g.init(jax.random.PRNGKey(0), feats)["params"]
+
+
+def test_separate_arbitrary_length(g_params):
+    cfg, g, params = g_params
+    for t in [5000, 8000, 8192]:  # off-grid and on-grid lengths
+        wav = np.random.default_rng(0).standard_normal(t).astype(np.float32)
+        out = separate(params, cfg, wav)
+        assert out.shape == (cfg.data.num_sources, t)
+        assert np.isfinite(out).all()
+
+
+def test_separate_file_roundtrip(g_params, tmp_path):
+    cfg, g, params = g_params
+    wav = (0.5 * np.sin(2 * np.pi * 440 * np.arange(8000) / 8000)).astype(np.float32)
+    in_path = str(tmp_path / "mix.wav")
+    write_wav(in_path, cfg.dsp.sample_rate, wav)
+    paths = separate_file(params, cfg, in_path, str(tmp_path / "out"))
+    assert len(paths) == cfg.data.num_sources
+    for p in paths:
+        assert os.path.exists(p)
+        sr, w = read_wav(p)
+        assert sr == cfg.dsp.sample_rate
+        assert len(w) == len(wav)
+
+
+def test_separate_file_sr_mismatch(g_params, tmp_path):
+    cfg, g, params = g_params
+    in_path = str(tmp_path / "bad.wav")
+    write_wav(in_path, 44100, np.zeros(1000, np.float32))
+    with pytest.raises(ValueError, match="sample rate"):
+        separate_file(params, cfg, in_path, str(tmp_path))
+
+
+def test_streaming_matches_oneshot_on_pure_tones(g_params):
+    """Streaming chunked separation ≈ one-shot separation away from chunk
+    boundaries (cross-fade makes boundaries approximate by design)."""
+    cfg, g, params = g_params
+    sr = cfg.dsp.sample_rate
+    t = 3 * sr  # 3 chunks of 1 s
+    n = np.arange(t) / sr
+    wav = (np.sin(2 * np.pi * 300 * n) + np.sin(2 * np.pi * 1500 * n)).astype(
+        np.float32
+    )
+    one = separate(params, cfg, wav)
+    stream = separate_streaming(params, cfg, wav)
+    assert stream.shape == one.shape == (2, t)
+    assert np.isfinite(stream).all()
+    # energy sanity: streaming output is not degenerate
+    assert np.abs(stream).max() > 1e-4
+
+
+def test_streaming_short_input(g_params):
+    cfg, g, params = g_params
+    wav = np.random.default_rng(1).standard_normal(2000).astype(np.float32)
+    out = separate_streaming(params, cfg, wav)  # shorter than one chunk
+    assert out.shape == (2, 2000)
+
+
+def test_streaming_perm_alignment():
+    """Chunks with swapped sources must be re-aligned to a consistent order."""
+    from gan_sass_tf_tpu.infer.streaming import _align_chunk_permutations
+
+    rng = np.random.default_rng(0)
+    stride, overlap = 60, 20
+    t_c = stride + overlap
+    base = rng.standard_normal((2, 3 * stride + overlap)).astype(np.float32)
+    chunks = np.stack(
+        [base[:, i * stride : i * stride + t_c] for i in range(3)]
+    )  # (3, 2, T_c) consistent ordering
+    chunks[1] = chunks[1][::-1]  # swap sources in the middle chunk
+    fixed = _align_chunk_permutations(chunks, stride, overlap)
+    # overlap regions must now agree between neighbors
+    for i in range(1, 3):
+        np.testing.assert_allclose(
+            fixed[i, :, :overlap], fixed[i - 1, :, stride:], atol=1e-6
+        )
+
+
+def test_cli_configs_and_overrides(capsys):
+    from gan_sass_tf_tpu import cli
+
+    assert cli.main(["configs"]) == 0
+    out = capsys.readouterr().out
+    assert "2src_toy_cpu" in out and "stream_v5e8" in out
+
+    cfg = cli._apply_overrides(
+        config.get_config("2src_toy_cpu"),
+        ["train.batch_size=16", "dsp.feature=logmel", "model.g_channels=8,16"],
+    )
+    assert cfg.train.batch_size == 16
+    assert cfg.dsp.feature == "logmel"
+    assert cfg.model.g_channels == (8, 16)
+    with pytest.raises(AttributeError):
+        cli._apply_overrides(cfg, ["train.nope=1"])

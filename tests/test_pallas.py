@@ -1,0 +1,120 @@
+"""Pallas kernel tolerance tests (SURVEY.md §7.1 step 8: same API + same
+tolerance tests as the XLA oracle path).  On CPU these run in TPU
+interpreter mode; the same kernels are exercised compiled on real TPU by
+the verification flows and bench."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from gan_sass_tf_tpu import dsp
+from gan_sass_tf_tpu.ops.pallas_istft import istft_pallas
+from gan_sass_tf_tpu.ops.pallas_stft import stft_pallas
+
+GRIDS = [
+    (256, 64, 4000),     # toy config grid (+ non-128 hop lanes)
+    (512, 128, 16384),   # wsj0 / stream grid
+    (512, 128, 24064),   # 3 s segment, F=185 (non-divisible by tile)
+]
+
+
+@pytest.fixture(autouse=True)
+def _interpret():
+    with pltpu.force_tpu_interpret_mode():
+        yield
+
+
+def _rand(rng, *shape):
+    return rng.standard_normal(shape).astype(np.float32)
+
+
+@pytest.mark.parametrize("n_fft,hop,t", GRIDS)
+def test_stft_pallas_matches_oracle(rng, n_fft, hop, t):
+    x = _rand(rng, 2, t)
+    ours = np.asarray(stft_pallas(jnp.asarray(x), n_fft, hop))
+    ref = np.asarray(dsp.stft(jnp.asarray(x), n_fft, hop))
+    assert ours.shape == ref.shape
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(ours, ref, atol=3e-4 * scale, rtol=1e-3)
+
+
+def test_stft_pallas_batch_dims(rng):
+    x = _rand(rng, 2, 3, 4000)  # (B, S, T) as used for target STFTs
+    ours = np.asarray(stft_pallas(jnp.asarray(x), 256, 64))
+    ref = np.asarray(dsp.stft(jnp.asarray(x), 256, 64))
+    np.testing.assert_allclose(ours, ref, atol=3e-4 * np.abs(ref).max())
+
+
+@pytest.mark.parametrize("n_fft,hop,t", GRIDS)
+def test_istft_pallas_matches_oracle(rng, n_fft, hop, t):
+    x = _rand(rng, 2, t)
+    spec = dsp.stft(jnp.asarray(x), n_fft, hop)
+    ours = np.asarray(istft_pallas(spec, n_fft, hop))
+    ref = np.asarray(dsp.istft(spec, n_fft, hop, norm="global"))
+    assert ours.shape == ref.shape
+    # First/last hop samples are ill-conditioned (1/env amplifies roundoff
+    # where the Hann envelope → 0); compare the well-conditioned interior.
+    np.testing.assert_allclose(
+        ours[:, hop:-hop], ref[:, hop:-hop], atol=2e-4, rtol=1e-3
+    )
+
+
+def test_roundtrip_pallas(rng):
+    n_fft, hop, t = 512, 128, 16384
+    x = _rand(rng, 1, t)
+    spec = stft_pallas(jnp.asarray(x), n_fft, hop)
+    f = spec.shape[-2]
+    t_grid = (f - 1) * hop + n_fft
+    y = np.asarray(istft_pallas(spec, n_fft, hop, length=t_grid))
+    np.testing.assert_allclose(
+        y[:, hop : t_grid - hop], x[:, hop : t_grid - hop], atol=2e-4
+    )
+
+
+def test_istft_pallas_gradient_matches_oracle(rng):
+    """The custom VJP (wav-domain recon training path) must agree with
+    autodiff through the XLA istft."""
+    n_fft, hop, t = 256, 64, 2048
+    x = _rand(rng, 1, t)
+    spec = dsp.stft(jnp.asarray(x), n_fft, hop)
+    tgt = jnp.asarray(_rand(rng, 1, (spec.shape[-2] - 1) * hop + n_fft))
+    re, im = jnp.real(spec), jnp.imag(spec)
+
+    def loss_pallas(re, im):
+        y = istft_pallas(jax.lax.complex(re, im), n_fft, hop)
+        return jnp.mean((y - tgt) ** 2)
+
+    def loss_oracle(re, im):
+        y = dsp.istft(jax.lax.complex(re, im), n_fft, hop, norm="global")
+        return jnp.mean((y - tgt) ** 2)
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1))(re, im)
+    go = jax.grad(loss_oracle, argnums=(0, 1))(re, im)
+    for a, b in zip(gp, go):
+        scale = np.abs(np.asarray(b)).max() + 1e-12
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4 * scale, rtol=1e-3
+        )
+
+
+def test_dispatch_force_backend(rng):
+    from gan_sass_tf_tpu.ops import dispatch
+
+    x = jnp.asarray(_rand(rng, 1, 4000))
+    with dispatch.force_backend("xla"):
+        a = dispatch.stft(x, 256, 64)
+    with dispatch.force_backend("pallas"):
+        b = dispatch.stft(x, 256, 64)
+    np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=3e-4 * float(jnp.abs(a).max())
+    )
+
+
+def test_pallas_rejects_bad_geometry(rng):
+    x = jnp.zeros((1, 4000))
+    with pytest.raises(ValueError, match="hop"):
+        stft_pallas(x, 256, 100)
+    with pytest.raises(ValueError, match="bins"):
+        istft_pallas(jnp.zeros((1, 10, 100), jnp.complex64), 256, 64)
