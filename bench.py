@@ -35,6 +35,10 @@ def main() -> None:
         data=cfg.data.__class__(**{**cfg.data.__dict__,
                                    "dataset": "synthetic",
                                    "segment_seconds": 3.0}),
+        # Production speed path: bf16 compute (params stay f32); masks and
+        # GAN logits are f32 (see models) so fidelity is preserved.
+        model=cfg.model.__class__(**{**cfg.model.__dict__,
+                                     "compute_dtype": "bfloat16"}),
         mesh=cfg.mesh.__class__(data_axis_size=-1),
     )
     n_chips = len(jax.devices())

@@ -64,6 +64,7 @@ class ModelConfig:
     g_channels: Tuple[int, ...] = (32, 64, 128)
     g_hidden: int = 256            # BiLSTM hidden / toy MLP width
     g_layers: int = 2              # BiLSTM stack depth
+    g_time_stride: bool = True     # conv U-Net downsamples T as well as F
     d_channels: Tuple[int, ...] = (32, 64, 128)
     d_norm: str = "batch"          # "batch" | "group" | "none"
     leak: float = 0.2              # LeakyReLU slope (reference D stack, BASELINE.json:5)

@@ -27,6 +27,7 @@ def _conv(cfg):
         channels=cfg.model.d_channels,
         norm=cfg.model.d_norm,
         leak=cfg.model.leak,
+        dtype=jnp.dtype(cfg.model.compute_dtype),
     )
 
 
@@ -34,12 +35,15 @@ class ConvDiscriminator(nn.Module):
     channels: Sequence[int] = (32, 64, 128)
     norm: str = "batch"
     leak: float = 0.2
+    dtype: jnp.dtype = jnp.float32       # compute dtype (bf16 speed path)
 
     def _norm(self, x: jax.Array, train: bool) -> jax.Array:
         if self.norm == "batch":
-            return nn.BatchNorm(use_running_average=not train)(x)
+            return nn.BatchNorm(use_running_average=not train,
+                                dtype=self.dtype)(x)
         if self.norm == "group":
-            return nn.GroupNorm(num_groups=min(8, x.shape[-1]))(x)
+            return nn.GroupNorm(num_groups=min(8, x.shape[-1]),
+                                dtype=self.dtype)(x)
         if self.norm == "none":
             return x
         raise ValueError(f"unknown norm {self.norm!r}")
@@ -47,10 +51,12 @@ class ConvDiscriminator(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         """(B, T, F, C) -> (B,) real/fake logits."""
+        x = x.astype(self.dtype)
         for i, c in enumerate(self.channels):
-            x = nn.Conv(c, (4, 4), strides=(2, 2))(x)
+            x = nn.Conv(c, (4, 4), strides=(2, 2), dtype=self.dtype)(x)
             if i > 0:  # reference convention: no norm on the first conv
                 x = self._norm(x, train)
             x = nn.leaky_relu(x, self.leak)
         x = jnp.mean(x, axis=(1, 2))          # global average pool (B, C)
-        return nn.Dense(1)(x)[..., 0]
+        # Logits in f32: GAN loss numerics are sensitive to bf16 rounding.
+        return nn.Dense(1, dtype=jnp.float32)(x.astype(jnp.float32))[..., 0]

@@ -48,22 +48,25 @@ class MaskHead(nn.Module):
     mask_type: str          # "magnitude" | "complex"
     mask_activation: str    # "sigmoid" | "softmax"
     feat_is_linear: bool    # True when F_feat == n_bins (1x1 conv head ok)
-    param_dtype: jnp.dtype = jnp.float32
+    dtype: jnp.dtype = jnp.float32       # compute dtype (bf16 speed path)
 
     @nn.compact
     def __call__(self, h: jax.Array) -> jax.Array:
         # h: (B, T, F_feat, C) or (B, T, D)
         s, mc = self.num_sources, mask_channels(self.mask_type)
         if h.ndim == 4 and self.feat_is_linear and h.shape[2] == self.n_bins:
-            out = nn.Conv(s * mc, (1, 1), param_dtype=self.param_dtype)(h)
+            out = nn.Conv(s * mc, (1, 1), dtype=self.dtype)(h)
             out = out.reshape(*out.shape[:3], s, mc)           # (B,T,K,S,mc)
             out = jnp.moveaxis(out, 3, 1)                       # (B,S,T,K,mc)
         else:
             if h.ndim == 4:
                 h = h.reshape(*h.shape[:2], -1)                 # (B,T,F*C)
-            out = nn.Dense(s * self.n_bins * mc, param_dtype=self.param_dtype)(h)
+            out = nn.Dense(s * self.n_bins * mc, dtype=self.dtype)(h)
             out = out.reshape(*out.shape[:2], s, self.n_bins, mc)
             out = jnp.moveaxis(out, 2, 1)                       # (B,S,T,K,mc)
+        # Masks leave in f32 regardless of compute dtype: they multiply the
+        # complex STFT on the fidelity-critical path (BASELINE.json:5).
+        out = out.astype(jnp.float32)
         if self.mask_type == "complex":
             return jnp.tanh(out)                                # (B,S,T,K,2)
         out = out[..., 0]                                       # (B,S,T,K)
@@ -80,6 +83,7 @@ def _toy(cfg):
         mask_type=cfg.dsp.mask_type,
         mask_activation=cfg.dsp.mask_activation,
         hidden=cfg.model.g_hidden,
+        dtype=jnp.dtype(cfg.model.compute_dtype),
     )
 
 
@@ -89,17 +93,18 @@ class ToyMLPGenerator(nn.Module):
     mask_type: str
     mask_activation: str
     hidden: int = 256
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, feats: jax.Array, train: bool = False) -> jax.Array:
-        h = _standardize(feats, axes=(1, 2))
-        h = nn.Dense(self.hidden)(h)
+        h = _standardize(feats, axes=(1, 2)).astype(self.dtype)
+        h = nn.Dense(self.hidden, dtype=self.dtype)(h)
         h = nn.relu(h)
-        h = nn.Dense(self.hidden)(h)
+        h = nn.Dense(self.hidden, dtype=self.dtype)(h)
         h = nn.relu(h)
         return MaskHead(
             self.num_sources, self.n_bins, self.mask_type,
-            self.mask_activation, feat_is_linear=False,
+            self.mask_activation, feat_is_linear=False, dtype=self.dtype,
         )(h)
 
 
@@ -113,6 +118,8 @@ def _conv(cfg):
         mask_activation=cfg.dsp.mask_activation,
         channels=cfg.model.g_channels,
         leak=cfg.model.leak,
+        dtype=jnp.dtype(cfg.model.compute_dtype),
+        time_stride=cfg.model.g_time_stride,
     )
 
 
@@ -127,30 +134,35 @@ class ConvUNetGenerator(nn.Module):
     mask_activation: str
     channels: Sequence[int] = (32, 64, 128)
     leak: float = 0.2
+    dtype: jnp.dtype = jnp.float32
+    time_stride: bool = True   # downsample T too: ~2x less activation HBM
+    #                            traffic per level (the step is BW-bound)
 
     @nn.compact
     def __call__(self, feats: jax.Array, train: bool = False) -> jax.Array:
-        x = _standardize(feats, axes=(1, 2))[..., None]        # (B,T,F,1)
+        x = _standardize(feats, axes=(1, 2))[..., None].astype(self.dtype)
+        down = (2, 2) if self.time_stride else (1, 2)
         skips = []
         for c in self.channels:
-            x = nn.Conv(c, (3, 3))(x)
+            x = nn.Conv(c, (3, 3), dtype=self.dtype)(x)
             x = nn.leaky_relu(x, self.leak)
             skips.append(x)
-            x = nn.Conv(c, (3, 3), strides=(1, 2))(x)          # F/2
+            x = nn.Conv(c, (3, 3), strides=down, dtype=self.dtype)(x)
             x = nn.leaky_relu(x, self.leak)
-        x = nn.Conv(self.channels[-1], (3, 3))(x)
+        x = nn.Conv(self.channels[-1], (3, 3), dtype=self.dtype)(x)
         x = nn.leaky_relu(x, self.leak)
         for c, skip in zip(reversed(self.channels), reversed(skips)):
-            x = nn.ConvTranspose(c, (3, 3), strides=(1, 2))(x)  # F*2
-            x = x[:, :, : skip.shape[2], :]                     # crop odd dims
+            x = nn.ConvTranspose(c, (3, 3), strides=down, dtype=self.dtype)(x)
+            x = x[:, : skip.shape[1], : skip.shape[2], :]       # crop odd dims
             x = nn.leaky_relu(x, self.leak)
             x = jnp.concatenate([x, skip], axis=-1)
-            x = nn.Conv(c, (3, 3))(x)
+            x = nn.Conv(c, (3, 3), dtype=self.dtype)(x)
             x = nn.leaky_relu(x, self.leak)
         return MaskHead(
             self.num_sources, self.n_bins, self.mask_type,
             self.mask_activation,
             feat_is_linear=(self.feature_dim == self.n_bins),
+            dtype=self.dtype,
         )(x)
 
 
@@ -163,6 +175,7 @@ def _bilstm(cfg):
         mask_activation=cfg.dsp.mask_activation,
         hidden=cfg.model.g_hidden,
         layers=cfg.model.g_layers,
+        dtype=jnp.dtype(cfg.model.compute_dtype),
     )
 
 
@@ -176,15 +189,16 @@ class BiLSTMGenerator(nn.Module):
     mask_activation: str
     hidden: int = 300
     layers: int = 2
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, feats: jax.Array, train: bool = False) -> jax.Array:
-        h = _standardize(feats, axes=(1, 2))                   # (B,T,F)
+        h = _standardize(feats, axes=(1, 2)).astype(self.dtype)  # (B,T,F)
         for _ in range(self.layers):
-            fwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden))
-            bwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden))
+            fwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden, dtype=self.dtype))
+            bwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden, dtype=self.dtype))
             h = nn.Bidirectional(fwd, bwd)(h)                  # (B,T,2H)
         return MaskHead(
             self.num_sources, self.n_bins, self.mask_type,
-            self.mask_activation, feat_is_linear=False,
+            self.mask_activation, feat_is_linear=False, dtype=self.dtype,
         )(h)

@@ -50,18 +50,32 @@ def build_train_step(cfg, g, d) -> Callable[[TrainState, jax.Array, jax.Array], 
     g_tx, d_tx = make_optimizers(cfg)
     has_bn = cfg.model.d_norm == "batch"
 
-    def g_forward(g_params, feats, spec_mix, train: bool):
+    need_est_spec = lcfg.recon_domain == "wav" or dcfg.mask_type != "magnitude"
+
+    def g_forward(g_params, feats, spec_mix, mag_mix, train: bool):
         masks = g.apply(_g_vars(g_params), feats, train=train)
-        est_spec = apply_mask(spec_mix, masks, dcfg.mask_type)
-        est_logmag = logmag(est_spec, dcfg.eps)
+        if need_est_spec:
+            est_spec = apply_mask(spec_mix, masks, dcfg.mask_type)
+            est_logmag = logmag(est_spec, dcfg.eps)
+        else:
+            # Magnitude masks: |m·X| == m·|X| — skip the complex multiply
+            # and its 2x-sized materialization (the step is HBM-bound).
+            est_spec = None
+            est_logmag = jnp.log(masks * mag_mix[:, None] + dcfg.eps)
         return masks, est_spec, est_logmag
+
+    d_in_dtype = jnp.dtype(cfg.model.compute_dtype)
 
     def d_input(mix_logmag, cand_logmag):
         """(B,T,K) mixture + (B,S,T,K) candidates -> (B*S, T, K, 2).
-        D always judges (mixture, candidate) linear log-magnitude pairs."""
+        D always judges (mixture, candidate) linear log-magnitude pairs.
+        Materialized in the compute dtype — this tensor is built 3x per step
+        and the step is HBM-bandwidth-bound."""
         b, s = cand_logmag.shape[:2]
         mix_b = jnp.broadcast_to(mix_logmag[:, None], cand_logmag.shape)
-        x = jnp.stack([mix_b, cand_logmag], axis=-1)
+        x = jnp.stack(
+            [mix_b.astype(d_in_dtype), cand_logmag.astype(d_in_dtype)], axis=-1
+        )
         return x.reshape(b * s, *x.shape[2:])
 
     def d_apply(d_params, d_stats, x, update_stats: bool):
@@ -75,20 +89,12 @@ def build_train_step(cfg, g, d) -> Callable[[TrainState, jax.Array, jax.Array], 
             return logits, (new_stats if update_stats else d_stats)
         return d.apply(variables, x, train=True), d_stats
 
-    def align_targets(est_logmag, tgt_logmag):
-        """PIT match on log-magnitudes; returns targets reordered to the
-        estimate ordering (identity when PIT is off)."""
-        if not lcfg.use_pit:
-            return tgt_logmag, None
-        _, perm = pit_loss(est_logmag, tgt_logmag, lcfg.recon_loss)
-        return align_to_perm(tgt_logmag, perm), perm
-
     # ---- D update --------------------------------------------------------
 
-    def d_loss_fn(d_params, d_stats, g_params, feats, spec_mix, mix_logmag, tgt_logmag):
-        _, _, est_logmag = g_forward(g_params, feats, spec_mix, train=True)
-        est_logmag = jax.lax.stop_gradient(est_logmag)
-        tgt_aligned, _ = align_targets(est_logmag, tgt_logmag)
+    def d_loss_fn(d_params, d_stats, est_logmag, mix_logmag, tgt_aligned):
+        # est_logmag and the PIT-aligned targets come in as constants
+        # (computed once per step outside the grads): no duplicate G forward
+        # or pairwise-loss tensor inside the D gradient.
         # Real+fake through one D pass: one big MXU-friendly batch, and BN
         # stats see the same distribution every step.
         x = jnp.concatenate(
@@ -101,20 +107,20 @@ def build_train_step(cfg, g, d) -> Callable[[TrainState, jax.Array, jax.Array], 
 
     # ---- G update --------------------------------------------------------
 
-    def g_loss_fn(g_params, d_params, d_stats, feats, spec_mix, mix_logmag,
-                  tgt_logmag, tgt_wavs):
-        _, est_spec, est_logmag = g_forward(g_params, feats, spec_mix, train=True)
-        # Reconstruction (PIT over orderings, BASELINE.json:9)
+    def g_loss_fn(g_params, d_params, d_stats, feats, spec_mix, mag_mix,
+                  mix_logmag, tgt_logmag_aligned, tgt_wavs_aligned):
+        _, est_spec, est_logmag = g_forward(
+            g_params, feats, spec_mix, mag_mix, train=True)
+        # Reconstruction against PIT-pre-aligned targets (BASELINE.json:9).
+        # The permutation is argmin'd once per step outside the grad — it is
+        # piecewise-constant in the params, so the gradient is unchanged a.e.
+        # and the (B,S,S,T,K) pairwise tensor never enters the backward pass.
         if lcfg.recon_domain == "wav":
             est_r = ops.istft(est_spec, n_fft, hop, window=dcfg.window)
-            tgt_r = tgt_wavs[..., : est_r.shape[-1]]
+            tgt_r = tgt_wavs_aligned[..., : est_r.shape[-1]]
         else:
-            est_r, tgt_r = est_logmag, tgt_logmag
-        if lcfg.use_pit:
-            rec_b, _ = pit_loss(est_r, tgt_r, lcfg.recon_loss)
-            rec = rec_b.mean()
-        else:
-            rec = recon_loss(est_r, tgt_r, lcfg.recon_loss)
+            est_r, tgt_r = est_logmag, tgt_logmag_aligned
+        rec = recon_loss(est_r, tgt_r, lcfg.recon_loss)
         # Adversarial term against the (already-updated) discriminator.
         fake_logits, _ = d_apply(
             d_params, d_stats, d_input(mix_logmag, est_logmag), update_stats=False
@@ -131,9 +137,29 @@ def build_train_step(cfg, g, d) -> Callable[[TrainState, jax.Array, jax.Array], 
         mixture, scaled = mix_sources(sources, rng_mix, cfg.data)
         spec_mix = ops.stft(mixture, n_fft, hop, window=dcfg.window)
         feats = spec_features(spec_mix, dcfg)
-        mix_logmag = logmag(spec_mix, dcfg.eps)
+        mag_mix = jnp.abs(spec_mix)
+        mix_logmag = jnp.log(mag_mix + dcfg.eps)
         tgt_spec = ops.stft(scaled, n_fft, hop, window=dcfg.window)
         tgt_logmag = logmag(tgt_spec, dcfg.eps)
+
+        # One G forward serves every D update in the alternating schedule,
+        # and the PIT permutation is matched once per step (no grad).
+        _, _, est_logmag = g_forward(
+            state.g_params, feats, spec_mix, mag_mix, train=True)
+        est_logmag = jax.lax.stop_gradient(est_logmag)
+        if lcfg.use_pit:
+            # Permutation matching only needs the argmin — bf16 halves the
+            # traffic of the (B,S,S,T,K) pairwise tensor.
+            _, perm = pit_loss(est_logmag.astype(jnp.bfloat16),
+                               tgt_logmag.astype(jnp.bfloat16),
+                               lcfg.recon_loss)
+            tgt_logmag_aligned = align_to_perm(tgt_logmag, perm)
+            scaled_aligned = (
+                align_to_perm(scaled, perm)
+                if lcfg.recon_domain == "wav" else scaled
+            )
+        else:
+            tgt_logmag_aligned, scaled_aligned = tgt_logmag, scaled
 
         d_params, d_stats, d_opt = state.d_params, state.d_batch_stats, state.d_opt_state
         d_loss = jnp.zeros(())
@@ -141,8 +167,7 @@ def build_train_step(cfg, g, d) -> Callable[[TrainState, jax.Array, jax.Array], 
         for _ in range(cfg.train.d_steps):  # static alternating schedule
             (d_loss, (d_stats, real_m, fake_m)), d_grads = jax.value_and_grad(
                 d_loss_fn, has_aux=True
-            )(d_params, d_stats, state.g_params, feats, spec_mix, mix_logmag,
-              tgt_logmag)
+            )(d_params, d_stats, est_logmag, mix_logmag, tgt_logmag_aligned)
             d_updates, d_opt = d_tx.update(d_grads, d_opt, d_params)
             d_params = jax.tree_util.tree_map(
                 lambda p, u: p + u, d_params, d_updates
@@ -150,8 +175,8 @@ def build_train_step(cfg, g, d) -> Callable[[TrainState, jax.Array, jax.Array], 
 
         (g_loss, (adv, rec)), g_grads = jax.value_and_grad(
             g_loss_fn, has_aux=True
-        )(state.g_params, d_params, d_stats, feats, spec_mix, mix_logmag,
-          tgt_logmag, scaled)
+        )(state.g_params, d_params, d_stats, feats, spec_mix, mag_mix,
+          mix_logmag, tgt_logmag_aligned, scaled_aligned)
         g_updates, g_opt = g_tx.update(g_grads, state.g_opt_state, state.g_params)
         g_params = jax.tree_util.tree_map(
             lambda p, u: p + u, state.g_params, g_updates
