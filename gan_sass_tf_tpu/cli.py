@@ -54,6 +54,8 @@ def main(argv=None) -> int:
     p_train.add_argument("--profile-steps", default=None, metavar="A:B",
                          help="capture a jax.profiler trace for steps [A, B)")
     p_train.add_argument("--no-resume", action="store_true")
+    p_train.add_argument("--debug-nans", action="store_true",
+                         help="trip on the first non-finite value in the step")
 
     p_sep = sub.add_parser("separate", help="separate a mixture wav into sources")
     _add_common(p_sep)
@@ -101,7 +103,8 @@ def main(argv=None) -> int:
     if args.cmd == "train":
         from gan_sass_tf_tpu.utils.profiler import parse_profile_steps
 
-        exp = Experiment(cfg, workdir=args.workdir, resume=not args.no_resume)
+        exp = Experiment(cfg, workdir=args.workdir, resume=not args.no_resume,
+                         debug_nans=args.debug_nans)
         prof = parse_profile_steps(args.profile_steps) if args.profile_steps else None
 
         def log(step, m):

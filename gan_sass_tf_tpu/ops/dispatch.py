@@ -73,6 +73,43 @@ def stft(x, n_fft: int, hop: int, window: str = "hann", backend: str = "auto"):
     return _xla_stft(x, n_fft, hop, window)
 
 
+def stft_features(x, dsp_cfg, emit=("logmag",), backend: str = "auto"):
+    """Fused STFT + feature extraction: dict with any subset of
+    {"spec", "mag", "logmag", "logmel"}.  On TPU this is ONE Pallas kernel
+    (features computed in VMEM; non-emitted intermediates never hit HBM);
+    the XLA fallback composes the dsp/ oracle ops."""
+    import jax.numpy as jnp
+
+    n_fft, hop = dsp_cfg.n_fft, dsp_cfg.hop_length
+    mel = None
+    if "logmel" in emit:
+        from gan_sass_tf_tpu.dsp.features import mel_filterbank
+
+        mel = jnp.asarray(
+            mel_filterbank(dsp_cfg.n_mels, dsp_cfg.n_bins, dsp_cfg.sample_rate)
+        )
+    if _resolve(backend, n_fft, hop) == "pallas":
+        from gan_sass_tf_tpu.ops.pallas_stft import stft_features_pallas
+
+        return stft_features_pallas(
+            x, n_fft, hop, dsp_cfg.window, emit=tuple(emit),
+            mel_matrix=mel, eps=dsp_cfg.eps,
+        )
+    spec = _xla_stft(x, n_fft, hop, dsp_cfg.window)
+    out = {}
+    if "spec" in emit:
+        out["spec"] = spec
+    if {"mag", "logmag", "logmel"} & set(emit):
+        mag = jnp.abs(spec)
+    if "mag" in emit:
+        out["mag"] = mag
+    if "logmag" in emit:
+        out["logmag"] = jnp.log(mag + dsp_cfg.eps)
+    if "logmel" in emit:
+        out["logmel"] = jnp.log(mag @ mel + dsp_cfg.eps)
+    return out
+
+
 def istft(spec, n_fft: int, hop: int, window: str = "hann",
           length: Optional[int] = None, backend: str = "auto"):
     if _resolve(backend, n_fft, hop) == "pallas":

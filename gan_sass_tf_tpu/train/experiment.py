@@ -42,7 +42,12 @@ class Experiment:
         workdir: Optional[str] = None,
         mesh=None,
         resume: bool = True,
+        debug_nans: bool = False,
     ):
+        if debug_nans:
+            # NaN tripwire (SURVEY.md §5.2): recompile-and-locate on the
+            # first non-finite value anywhere in the jitted step.
+            jax.config.update("jax_debug_nans", True)
         self.cfg = cfg
         self.workdir = workdir
         self.mesh = mesh if mesh is not None else make_mesh(cfg.mesh)
@@ -174,9 +179,15 @@ class Experiment:
         total = num_steps if num_steps is not None else cfg.train.total_steps
         last_metrics: Dict[str, float] = {}
         t_start = time.perf_counter()
+        steps_timed = 0
         samples_per_step = cfg.train.batch_size * self.cfg.segment_samples
         profiling = False
         for i in range(total):
+            if i == 1:
+                # Restart the throughput clock after step 0 so the reported
+                # mixture-sec/sec excludes XLA compilation.
+                t_start = time.perf_counter()
+                steps_timed = 0
             step_now = int(self.state.step)
             if profile_steps and self.workdir:
                 if step_now == profile_steps[0] and not profiling:
@@ -192,10 +203,11 @@ class Experiment:
             self.state, metrics = self._train_step(
                 self.state, sources, self._train_rng
             )
+            steps_timed += 1
             if (step_now + 1) % cfg.train.log_every == 0 or i == total - 1:
                 last_metrics = {k: float(v) for k, v in metrics.items()}
                 elapsed = time.perf_counter() - t_start
-                mix_sec = (i + 1) * samples_per_step / cfg.dsp.sample_rate
+                mix_sec = steps_timed * samples_per_step / cfg.dsp.sample_rate
                 last_metrics["mixture_sec_per_sec"] = mix_sec / elapsed
                 self.metrics.write(step_now + 1, last_metrics)
                 if log_fn:

@@ -135,12 +135,16 @@ def build_train_step(cfg, g, d) -> Callable[[TrainState, jax.Array, jax.Array], 
         rng = jax.random.fold_in(rng, state.step)
         rng_mix, _ = jax.random.split(rng)
         mixture, scaled = mix_sources(sources, rng_mix, cfg.data)
-        spec_mix = ops.stft(mixture, n_fft, hop, window=dcfg.window)
-        feats = spec_features(spec_mix, dcfg)
-        mag_mix = jnp.abs(spec_mix)
-        mix_logmag = jnp.log(mag_mix + dcfg.eps)
-        tgt_spec = ops.stft(scaled, n_fft, hop, window=dcfg.window)
-        tgt_logmag = logmag(tgt_spec, dcfg.eps)
+        # Fused STFT+features: one kernel emits exactly what the step needs
+        # (for magnitude masks the complex spectrum is never materialized).
+        mix_emit = (("spec",) if need_est_spec else ()) + ("mag", "logmag") \
+            + (("logmel",) if dcfg.feature == "logmel" else ())
+        mix_out = ops.stft_features(mixture, dcfg, emit=mix_emit)
+        spec_mix = mix_out.get("spec")
+        mag_mix = mix_out["mag"]
+        mix_logmag = mix_out["logmag"]
+        feats = mix_out["logmel"] if dcfg.feature == "logmel" else mix_logmag
+        tgt_logmag = ops.stft_features(scaled, dcfg, emit=("logmag",))["logmag"]
 
         # One G forward serves every D update in the alternating schedule,
         # and the PIT permutation is matched once per step (no grad).

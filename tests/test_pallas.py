@@ -118,3 +118,48 @@ def test_pallas_rejects_bad_geometry(rng):
         stft_pallas(x, 256, 100)
     with pytest.raises(ValueError, match="bins"):
         istft_pallas(jnp.zeros((1, 10, 100), jnp.complex64), 256, 64)
+
+
+def test_stft_features_pallas_matches_oracle(rng):
+    """Fused STFT+features kernel vs the dsp oracle chain."""
+    from gan_sass_tf_tpu.dsp.features import mel_filterbank
+    from gan_sass_tf_tpu.ops.pallas_stft import stft_features_pallas
+
+    n_fft, hop, t = 512, 128, 16384
+    x = jnp.asarray(_rand(rng, 3, t))
+    mel = jnp.asarray(mel_filterbank(80, 257, 8000))
+    out = stft_features_pallas(
+        x, n_fft, hop, emit=("spec", "mag", "logmag", "logmel"),
+        mel_matrix=mel, eps=1e-8,
+    )
+    spec = dsp.stft(x, n_fft, hop)
+    mag = jnp.abs(spec)
+    scale = float(mag.max())
+    np.testing.assert_allclose(np.asarray(out["spec"]), np.asarray(spec),
+                               atol=3e-4 * scale)
+    np.testing.assert_allclose(np.asarray(out["mag"]), np.asarray(mag),
+                               atol=3e-4 * scale)
+    np.testing.assert_allclose(np.asarray(out["logmag"]),
+                               np.asarray(jnp.log(mag + 1e-8)), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(out["logmel"]),
+                               np.asarray(jnp.log(mag @ mel + 1e-8)),
+                               atol=1e-3)
+
+
+def test_stft_features_dispatch_fallback(rng):
+    """XLA fallback of ops.stft_features composes the same values."""
+    from gan_sass_tf_tpu import config
+    from gan_sass_tf_tpu.ops import dispatch
+
+    cfg = config.get_config("wsj0_logmel")
+    x = jnp.asarray(_rand(rng, 2, 16384))
+    out = dispatch.stft_features(
+        x, cfg.dsp, emit=("spec", "mag", "logmag", "logmel"), backend="xla"
+    )
+    spec = dsp.stft(x, cfg.dsp.n_fft, cfg.dsp.hop_length)
+    np.testing.assert_allclose(np.asarray(out["spec"]), np.asarray(spec),
+                               atol=1e-5)
+    assert out["logmel"].shape == spec.shape[:-1] + (80,)
+    with pytest.raises(ValueError, match="unknown emit"):
+        from gan_sass_tf_tpu.ops.pallas_stft import stft_features_pallas
+        stft_features_pallas(x, 512, 128, emit=("nope",))
