@@ -50,12 +50,18 @@ def main() -> None:
     )
 
     exp = Experiment(cfg, workdir=None)
-    batch = make_dataset(cfg, seed=0).batch()
-    sources = jax.device_put(batch, batch_sharding(exp.mesh))
+    if exp._use_bank:
+        # Production data path: device-resident utterance bank sampled
+        # in-graph — zero per-step host->device transfer.
+        data = exp._bank
+    else:
+        data = jax.device_put(
+            make_dataset(cfg, seed=0).batch(), batch_sharding(exp.mesh)
+        )
 
     state, rng = exp.state, exp._train_rng
     for _ in range(WARMUP_STEPS):
-        state, metrics = exp._train_step(state, sources, rng)
+        state, metrics = exp._train_step(state, data, rng)
     # NOTE: block_until_ready is a no-op on the remote-relay TPU backend in
     # this environment; a device→host value fetch is the only true sync.
     # Fetching an output of step N's executable forces the whole chain.
@@ -63,7 +69,7 @@ def main() -> None:
 
     t0 = time.perf_counter()
     for _ in range(BENCH_STEPS):
-        state, metrics = exp._train_step(state, sources, rng)
+        state, metrics = exp._train_step(state, data, rng)
     float(metrics["g_loss"])
     elapsed = time.perf_counter() - t0
 

@@ -63,6 +63,10 @@ def main(argv=None) -> int:
     p_sep.add_argument("--output-dir", required=True)
     p_sep.add_argument("--streaming", action="store_true",
                        help="chunked overlap-add streaming mode")
+    p_sep.add_argument("--streaming-mode", choices=["batch", "scan"],
+                       default="batch",
+                       help="batch: chunks batched over the mesh (throughput); "
+                            "scan: sequential scan-carry (low latency)")
 
     p_eval = sub.add_parser("eval", help="SI-SDR evaluation on held-out mixtures")
     _add_common(p_eval)
@@ -129,7 +133,10 @@ def main(argv=None) -> int:
 
     if args.cmd == "separate":
         if args.streaming:
-            from gan_sass_tf_tpu.infer import separate_streaming
+            from gan_sass_tf_tpu.infer import (
+                separate_streaming,
+                separate_streaming_scan,
+            )
             from gan_sass_tf_tpu.utils.wav_io import read_wav, write_wav
             import os
 
@@ -137,7 +144,12 @@ def main(argv=None) -> int:
             if sr != cfg.dsp.sample_rate:
                 print(f"error: wav sr {sr} != config sr {cfg.dsp.sample_rate}")
                 return 1
-            srcs = separate_streaming(exp.state.g_params, cfg, wav, mesh=exp.mesh)
+            if args.streaming_mode == "scan":
+                srcs = separate_streaming_scan(exp.state.g_params, cfg, wav)
+            else:
+                srcs = separate_streaming(
+                    exp.state.g_params, cfg, wav, mesh=exp.mesh
+                )
             os.makedirs(args.output_dir, exist_ok=True)
             stem = os.path.splitext(os.path.basename(args.input))[0]
             for i, w in enumerate(srcs):

@@ -105,6 +105,12 @@ class TrainConfig:
 class DataConfig:
     dataset: str = "synthetic"     # "synthetic" | "wav_dir"
     data_dir: str = ""             # corpus root for "wav_dir"
+    device_bank: bool = True       # upload the utterance bank to HBM once
+    #                                and sample batches IN-GRAPH (no per-step
+    #                                host->device transfer; BASELINE.json:5
+    #                                "no host round-trips").  Falls back to
+    #                                host batches when False.
+    bank_utterances: int = 64      # bank entries per source slot
     num_sources: int = 2           # speakers mixed per example
     num_noise: int = 0             # additional noise sources
     segment_seconds: float = 2.0

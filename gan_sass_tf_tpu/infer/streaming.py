@@ -66,6 +66,73 @@ def _align_chunk_permutations(
     return out
 
 
+def build_streaming_scan_fn(cfg, g):
+    """Low-latency scan-carry streaming separation (SURVEY.md §5.7): ONE
+    jitted program processes all chunks sequentially with lax.scan, carrying
+    (a) the previous chunk's overlap tail for the on-device cross-fade and
+    (b) nothing else — source consistency is enforced in-graph by matching
+    each chunk's sources to the carried tail over all S! permutations
+    (static unroll, S ≤ 3 per the contract).
+
+    Returns scan_separate(g_params, chunks (N, T_c)) -> (N, S, stride)
+    stride-aligned output segments (concatenate along time to reassemble;
+    the final `overlap` samples live in the last chunk's tail and are
+    dropped, matching the padded-stream geometry).
+    """
+    from gan_sass_tf_tpu.losses.pit import permutations_for
+
+    separate = build_separate_fn(cfg, g)
+    hop = cfg.dsp.hop_length
+    overlap = cfg.stream.overlap_frames * hop
+    s = cfg.data.num_sources
+    perms = permutations_for(s)                     # (P, S) static
+
+    def scan_separate(g_params, chunks):
+        t_c = chunks.shape[-1]
+        stride = t_c - overlap
+        ramp = (jnp.arange(1, overlap + 1) / (overlap + 1)).astype(jnp.float32)
+
+        def body(carry_tail, chunk):
+            # carry_tail: (S, overlap) — previous chunk's fade-out segment.
+            wavs = separate(g_params, chunk[None])[0]           # (S, T_c)
+            # Match source order to the carried tail (L2 over the overlap).
+            head = wavs[:, :overlap]
+            errs = jnp.stack(
+                [jnp.sum((head[jnp.asarray(p)] - carry_tail) ** 2)
+                 for p in perms]
+            )
+            wavs = wavs[jnp.asarray(perms)[jnp.argmin(errs)]]
+            head = wavs[:, :overlap]
+            # Cross-fade the overlap against the carried tail.
+            faded = carry_tail * (1.0 - ramp) + head * ramp
+            out_seg = jnp.concatenate(
+                [faded, wavs[:, overlap:stride]], axis=-1
+            )                                                    # (S, stride)
+            return wavs[:, stride:], out_seg
+
+        init_tail = jnp.zeros((s, overlap), jnp.float32)
+        final_tail, segs = jax.lax.scan(body, init_tail, chunks)
+        return segs, final_tail          # (N, S, stride), (S, overlap)
+
+    return scan_separate
+
+
+def separate_streaming_scan(g_params, cfg, mixture: np.ndarray) -> np.ndarray:
+    """Host wrapper for the scan-carry streamer: (T,) -> (S, T)."""
+    mixture = np.asarray(mixture, np.float32)
+    t_in = mixture.shape[-1]
+    chunk, stride, overlap, n_chunks, padded = _chunk_geometry(cfg, t_in)
+    wav = np.pad(mixture, (0, padded - t_in))
+    idx = np.arange(n_chunks)[:, None] * stride + np.arange(chunk)[None, :]
+    chunks = jnp.asarray(wav[idx])
+    g = models.build_generator(cfg)
+    fn = jax.jit(build_streaming_scan_fn(cfg, g))
+    segs, tail = fn(g_params, chunks)                # (N,S,stride), (S,overlap)
+    full = np.moveaxis(np.asarray(segs), 1, 0).reshape(cfg.data.num_sources, -1)
+    full = np.concatenate([full, np.asarray(tail)], axis=-1)
+    return full[..., :t_in]
+
+
 def separate_streaming(
     g_params,
     cfg,
@@ -82,11 +149,18 @@ def separate_streaming(
     chunk, stride, overlap, n_chunks, padded = _chunk_geometry(cfg, t_in)
     mesh = mesh if mesh is not None else make_mesh(cfg.mesh)
     if separate_fn is None:
+        from jax.sharding import PartitionSpec as P
+
         g = models.build_generator(cfg)
+        # shard_map (not GSPMD): the Pallas kernels inside the fused
+        # separate graph are opaque to the auto-partitioner.
         separate_fn = jax.jit(
-            build_separate_fn(cfg, g),
-            in_shardings=(replicated_sharding(mesh), batch_sharding(mesh)),
-            out_shardings=batch_sharding(mesh),
+            jax.shard_map(
+                build_separate_fn(cfg, g), mesh=mesh,
+                in_specs=(P(), P(mesh.axis_names)),
+                out_specs=P(mesh.axis_names),
+                check_vma=False,
+            )
         )
 
     wav = np.pad(mixture, (0, padded - t_in))

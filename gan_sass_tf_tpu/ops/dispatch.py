@@ -117,3 +117,21 @@ def istft(spec, n_fft: int, hop: int, window: str = "hann",
 
         return istft_pallas(spec, n_fft, hop, window, length)
     return _xla_istft(spec, n_fft, hop, window, length, norm="global")
+
+
+def masked_istft(spec, masks, n_fft: int, hop: int, window: str = "hann",
+                 mask_type: str = "magnitude", length: Optional[int] = None,
+                 backend: str = "auto"):
+    """Fused mask-apply + iSTFT/overlap-add (BASELINE.json:5): mixture STFT
+    (..., F, K) + per-source masks -> (..., S, T) wavs.  Inference path (no
+    VJP); the XLA fallback composes apply_mask + istft."""
+    if _resolve(backend, n_fft, hop) == "pallas":
+        from gan_sass_tf_tpu.ops.pallas_istft import masked_istft_pallas
+
+        return masked_istft_pallas(
+            spec, masks, n_fft, hop, window, mask_type, length
+        )
+    from gan_sass_tf_tpu.dsp.masks import apply_mask
+
+    est = apply_mask(spec, masks, mask_type)
+    return _xla_istft(est, n_fft, hop, window, length, norm="global")

@@ -164,6 +164,113 @@ def _istft_ri_bwd(n_fft, hop, window, res, dy):
 _istft_ri.defvjp(_istft_ri_fwd, _istft_ri_bwd)
 
 
+def _masked_istft_kernel(re_ref, im_ref, m_ref, ci_ref, si_ref, env_ref,
+                         out_ref, *, n_frames: int, hop: int, n_fft: int,
+                         num_sources: int, complex_mask: bool):
+    """Fused mask-apply + inverse rDFT + windowed overlap-add
+    (BASELINE.json:5).  Grid runs over (batch·source); the mixture spectrum
+    block is shared across the source axis via the index map."""
+    r = n_fft // hop
+    re, im = re_ref[0], im_ref[0]
+    if complex_mask:
+        mr, mi = m_ref[0, 0, ..., 0], m_ref[0, 0, ..., 1]
+        mre = mr * re - mi * im
+        mim = mr * im + mi * re
+    else:
+        m = m_ref[0, 0]
+        mre = m * re
+        mim = m * im
+    acc = None
+    for j in range(r):
+        cj = jnp.dot(mre, ci_ref[j], preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+        cj += jnp.dot(mim, si_ref[j], preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+        cj = jnp.pad(cj, ((0, r - 1), (0, 0)))
+        cj = pltpu.roll(cj, shift=j, axis=0) if j else cj
+        acc = cj if acc is None else acc + cj
+    out_ref[0] = acc * env_ref[:]
+
+
+def masked_istft_pallas(
+    spec: jax.Array,
+    masks: jax.Array,
+    n_fft: int,
+    hop: int,
+    window: str = "hann",
+    mask_type: str = "magnitude",
+    length: Optional[int] = None,
+) -> jax.Array:
+    """Mixture STFT (..., F, K) + masks (..., S, F, K[, 2]) -> separated
+    wavs (..., S, T) in ONE kernel — the separated complex spectra are never
+    materialized in HBM.  Inference path (no VJP; training's wav-domain loss
+    uses apply_mask + istft_pallas, which differentiates)."""
+    if n_fft % hop != 0:
+        raise ValueError("pallas istft requires hop | n_fft")
+    complex_mask = mask_type == "complex"
+    *lead, f, n_bins = spec.shape
+    s = masks.shape[len(lead)]
+    if n_bins != n_fft // 2 + 1:
+        raise ValueError(f"expected {n_fft//2+1} bins, got {n_bins}")
+    b = int(np.prod(lead)) if lead else 1
+    k_pad = _round_up(n_bins, 128)
+    pad_k = ((0, 0), (0, 0), (0, k_pad - n_bins))
+    re = jnp.pad(jnp.real(spec).reshape(b, f, n_bins), pad_k).astype(jnp.float32)
+    im = jnp.pad(jnp.imag(spec).reshape(b, f, n_bins), pad_k).astype(jnp.float32)
+    m_shape = (b, s, f, n_bins) + ((2,) if complex_mask else ())
+    pad_m = ((0, 0), (0, 0), (0, 0), (0, k_pad - n_bins)) + (
+        ((0, 0),) if complex_mask else ())
+    masks_p = jnp.pad(masks.reshape(m_shape), pad_m).astype(jnp.float32)
+
+    ci, si = _idft_matrices_split(n_fft, hop, window, k_pad)
+    w = get_window(window, n_fft)
+    env = cola_norm(w, hop, f).astype(np.float64)
+    env = np.where(env <= 1e-30, 1.0, env)
+    r = n_fft // hop
+    nrows = f + r - 1
+    inv_env = (1.0 / env).astype(np.float32).reshape(nrows, hop)
+
+    m_block = (1, 1, f, k_pad) + ((2,) if complex_mask else ())
+    m_index = (lambda i: (i // s, i % s, 0, 0, 0)) if complex_mask else (
+        lambda i: (i // s, i % s, 0, 0))
+    kernel = functools.partial(
+        _masked_istft_kernel, n_frames=f, hop=hop, n_fft=n_fft,
+        num_sources=s, complex_mask=complex_mask,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(b * s,),
+        in_specs=[
+            pl.BlockSpec((1, f, k_pad), lambda i: (i // s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f, k_pad), lambda i: (i // s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(m_block, m_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, k_pad, hop), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, k_pad, hop), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nrows, hop), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, nrows, hop), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * s, nrows, hop), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * s * f * k_pad * n_fft,
+            bytes_accessed=(2 * b + b * s) * f * k_pad * 4
+            + b * s * nrows * hop * 4,
+            transcendentals=0,
+        ),
+    )(re, im, masks_p, jnp.asarray(ci), jnp.asarray(si), jnp.asarray(inv_env))
+    y = out.reshape(b, s, nrows * hop)
+    out_len = (f - 1) * hop + n_fft
+    y = y[..., :out_len]
+    if length is not None:
+        y = y[..., :length]
+    return y.reshape(*lead, s, y.shape[-1])
+
+
 def istft_pallas(spec: jax.Array, n_fft: int, hop: int, window: str = "hann",
                  length: Optional[int] = None) -> jax.Array:
     """(..., F, n_bins) complex -> (..., T) float32; same least-squares

@@ -64,21 +64,50 @@ class Experiment:
         bshard = batch_sharding(self.mesh)
         self._batch_sharding = bshard
 
-        step_fn = build_train_step(cfg, self.generator, self.discriminator)
+        # The step runs under jax.shard_map with explicit collectives
+        # (pmean of grads / BN stats / metrics inside the step) rather than
+        # GSPMD auto-partitioning: the Pallas DSP kernels are opaque to the
+        # SPMD partitioner, but per-shard they are embarrassingly parallel
+        # along the batch (SURVEY.md §2.4).  check_vma=False because
+        # replication of the post-pmean outputs cannot be inferred through
+        # the opaque kernels.
+        from jax.sharding import PartitionSpec as P
+
+        axes = self.mesh.axis_names
+        bspec = P(axes)
+
+        # Device-bank mode: the utterance bank lives in HBM (replicated) and
+        # each step samples batches in-graph — no per-step host->device
+        # transfer at all (BASELINE.json:5 "no host round-trips").
+        self._use_bank = cfg.data.device_bank
+        local_batch = cfg.train.batch_size // n_shards
+        step_fn = build_train_step(
+            cfg, self.generator, self.discriminator, axis_names=axes,
+            from_bank=self._use_bank, local_batch=local_batch,
+        )
+        data_spec = P() if self._use_bank else bspec
         self._train_step = jax.jit(
-            step_fn,
-            in_shardings=(repl, bshard, repl),
-            out_shardings=(repl, repl),
+            jax.shard_map(
+                step_fn, mesh=self.mesh,
+                in_specs=(P(), data_spec, P()), out_specs=(P(), P()),
+                check_vma=False,
+            ),
             donate_argnums=(0,),
         )
-        eval_fn = build_eval_step(cfg, self.generator)
+        eval_fn = build_eval_step(cfg, self.generator, axis_names=axes)
         self._eval_step = jax.jit(
-            eval_fn, in_shardings=(repl, bshard, repl), out_shardings=repl
+            jax.shard_map(
+                eval_fn, mesh=self.mesh,
+                in_specs=(P(), bspec, P()), out_specs=P(),
+                check_vma=False,
+            )
         )
         self.separate_fn = jax.jit(
-            build_separate_fn(cfg, self.generator),
-            in_shardings=(repl, bshard),
-            out_shardings=bshard,
+            jax.shard_map(
+                build_separate_fn(cfg, self.generator), mesh=self.mesh,
+                in_specs=(P(), bspec), out_specs=bspec,
+                check_vma=False,
+            )
         )
 
         init_rng = jax.random.PRNGKey(cfg.train.seed)
@@ -93,8 +122,17 @@ class Experiment:
             jax.random.PRNGKey(cfg.train.seed + 1), repl
         )
 
-        self.dataset = make_dataset(cfg, seed=cfg.train.seed)
+        self.dataset = None if self._use_bank else make_dataset(
+            cfg, seed=cfg.train.seed
+        )
         self.eval_dataset = make_dataset(cfg, seed=cfg.train.seed + 9999)
+        self._bank = None
+        if self._use_bank:
+            from gan_sass_tf_tpu.data.device_bank import build_bank
+
+            self._bank = jax.device_put(
+                build_bank(cfg, seed=cfg.train.seed), repl
+            )
         self.metrics = MetricsWriter(
             os.path.join(workdir, "metrics.jsonl") if workdir else None
         )
@@ -182,13 +220,42 @@ class Experiment:
         steps_timed = 0
         samples_per_step = cfg.train.batch_size * self.cfg.segment_samples
         profiling = False
+
+        # Host-side prefetch (host-batch mode only): overlap data
+        # generation/decoding with device execution.  In device-bank mode
+        # there is no per-step host data at all.
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=2)
+        stop = threading.Event()
+        thread = None
+        if not self._use_bank:
+
+            def producer():
+                while not stop.is_set():
+                    batch = self.dataset.batch()
+                    while not stop.is_set():
+                        try:
+                            q.put(batch, timeout=0.5)
+                            break
+                        except queue.Full:
+                            continue
+
+            thread = threading.Thread(target=producer, daemon=True)
+            thread.start()
+
+        # Host-side step counter: reading state.step from the device every
+        # iteration would force a full sync per step (~25 ms through the
+        # TPU relay) and serialize the async dispatch pipeline.
+        step_base = int(self.state.step)
         for i in range(total):
             if i == 1:
                 # Restart the throughput clock after step 0 so the reported
                 # mixture-sec/sec excludes XLA compilation.
                 t_start = time.perf_counter()
                 steps_timed = 0
-            step_now = int(self.state.step)
+            step_now = step_base + i
             if profile_steps and self.workdir:
                 if step_now == profile_steps[0] and not profiling:
                     jax.profiler.start_trace(
@@ -198,10 +265,12 @@ class Experiment:
                 if step_now >= profile_steps[1] and profiling:
                     jax.profiler.stop_trace()
                     profiling = False
-            sources = self.dataset.batch()
-            sources = jax.device_put(sources, self._batch_sharding)
+            data = (
+                self._bank if self._use_bank
+                else jax.device_put(q.get(), self._batch_sharding)
+            )
             self.state, metrics = self._train_step(
-                self.state, sources, self._train_rng
+                self.state, data, self._train_rng
             )
             steps_timed += 1
             if (step_now + 1) % cfg.train.log_every == 0 or i == total - 1:
@@ -217,6 +286,9 @@ class Experiment:
             if (step_now + 1) % cfg.train.eval_every == 0:
                 ev = self.evaluate()
                 self.metrics.write(step_now + 1, {"eval_" + k: v for k, v in ev.items()})
+        stop.set()
+        if thread is not None:
+            thread.join(timeout=5)
         if profiling:
             jax.profiler.stop_trace()
         if self.workdir:

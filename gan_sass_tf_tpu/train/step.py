@@ -39,11 +39,30 @@ def _g_vars(params):
     return {"params": params}
 
 
-def build_train_step(cfg, g, d) -> Callable[[TrainState, jax.Array, jax.Array], Tuple[TrainState, Dict[str, jax.Array]]]:
-    """Returns train_step(state, sources (B,S,T) f32, rng) -> (state, metrics).
+def _shard_offset(axis_names, local_b):
+    """Global index of this shard's first example (0 without axis names)."""
+    if not axis_names:
+        return 0
+    idx = 0
+    for name in axis_names:
+        idx = idx * jax.lax.axis_size(name) + jax.lax.axis_index(name)
+    return idx * local_b
 
-    jit is applied by the caller (Experiment) together with the mesh
-    shardings; the function itself is pure.
+
+def build_train_step(cfg, g, d, axis_names: Tuple[str, ...] = (),
+                     from_bank: bool = False, local_batch: int = 0) -> Callable[[TrainState, jax.Array, jax.Array], Tuple[TrainState, Dict[str, jax.Array]]]:
+    """Returns train_step(state, data, rng) -> (state, metrics) where `data`
+    is either local_sources (B_local,S,T) f32, or — with from_bank=True —
+    the replicated device-resident utterance bank (S,N_bank,T) sampled
+    in-graph (zero per-step host->device transfer, BASELINE.json:5).
+
+    Designed to run under jax.shard_map over the ('dcn','data') mesh
+    (Experiment wraps it): `axis_names` are the mesh axes to pmean gradients,
+    BN statistics, and metrics over.  Explicit collectives (rather than
+    GSPMD auto-partitioning) because the Pallas DSP kernels are opaque to
+    the SPMD partitioner — under shard_map each shard runs them on its local
+    batch, which is exactly the embarrassingly-parallel semantics they have
+    (SURVEY.md §2.4).
     """
     dcfg, lcfg = cfg.dsp, cfg.loss
     n_fft, hop = dcfg.n_fft, dcfg.hop_length
@@ -131,10 +150,21 @@ def build_train_step(cfg, g, d) -> Callable[[TrainState, jax.Array, jax.Array], 
 
     # ---- full step -------------------------------------------------------
 
-    def train_step(state: TrainState, sources: jax.Array, rng: jax.Array):
+    def _pmean(x):
+        return jax.lax.pmean(x, axis_names) if axis_names else x
+
+    def train_step(state: TrainState, data: jax.Array, rng: jax.Array):
         rng = jax.random.fold_in(rng, state.step)
-        rng_mix, _ = jax.random.split(rng)
-        mixture, scaled = mix_sources(sources, rng_mix, cfg.data)
+        rng_mix, rng_data = jax.random.split(rng)
+        if from_bank:
+            from gan_sass_tf_tpu.data.device_bank import sample_bank
+
+            offset = _shard_offset(axis_names, local_batch)
+            sources = sample_bank(data, rng_data, local_batch, offset)
+        else:
+            sources = data
+            offset = _shard_offset(axis_names, sources.shape[0])
+        mixture, scaled = mix_sources(sources, rng_mix, cfg.data, offset)
         # Fused STFT+features: one kernel emits exactly what the step needs
         # (for magnitude masks the complex spectrum is never materialized).
         mix_emit = (("spec",) if need_est_spec else ()) + ("mag", "logmag") \
@@ -172,15 +202,20 @@ def build_train_step(cfg, g, d) -> Callable[[TrainState, jax.Array, jax.Array], 
             (d_loss, (d_stats, real_m, fake_m)), d_grads = jax.value_and_grad(
                 d_loss_fn, has_aux=True
             )(d_params, d_stats, est_logmag, mix_logmag, tgt_logmag_aligned)
+            d_grads = _pmean(d_grads)          # DP all-reduce over the mesh
             d_updates, d_opt = d_tx.update(d_grads, d_opt, d_params)
             d_params = jax.tree_util.tree_map(
                 lambda p, u: p + u, d_params, d_updates
             )
 
+        if d_stats:
+            d_stats = _pmean(d_stats)          # sync-BN statistics
+
         (g_loss, (adv, rec)), g_grads = jax.value_and_grad(
             g_loss_fn, has_aux=True
         )(state.g_params, d_params, d_stats, feats, spec_mix, mag_mix,
           mix_logmag, tgt_logmag_aligned, scaled_aligned)
+        g_grads = _pmean(g_grads)              # DP all-reduce over the mesh
         g_updates, g_opt = g_tx.update(g_grads, state.g_opt_state, state.g_params)
         g_params = jax.tree_util.tree_map(
             lambda p, u: p + u, state.g_params, g_updates
@@ -194,14 +229,14 @@ def build_train_step(cfg, g, d) -> Callable[[TrainState, jax.Array, jax.Array], 
             g_opt_state=g_opt,
             d_opt_state=d_opt,
         )
-        metrics = {
+        metrics = _pmean({
             "d_loss": d_loss,
             "g_loss": g_loss,
             "g_adv": adv,
             "g_recon": rec,
             "d_real_logit": real_m,
             "d_fake_logit": fake_m,
-        }
+        })
         return new_state, metrics
 
     return train_step
@@ -213,29 +248,35 @@ def build_separate_fn(cfg, g) -> Callable[[Any, jax.Array], jax.Array]:
     dcfg = cfg.dsp
 
     def separate(g_params, mixture):
-        spec = ops.stft(mixture, dcfg.n_fft, dcfg.hop_length, window=dcfg.window)
-        feats = spec_features(spec, dcfg)
-        masks = g.apply(_g_vars(g_params), feats, train=False)
-        est_spec = apply_mask(spec, masks, dcfg.mask_type)
-        return ops.istft(est_spec, dcfg.n_fft, dcfg.hop_length, window=dcfg.window)
+        feat_key = "logmel" if dcfg.feature == "logmel" else "logmag"
+        out = ops.stft_features(mixture, dcfg, emit=("spec", feat_key))
+        masks = g.apply(_g_vars(g_params), out[feat_key], train=False)
+        # Fused mask-apply + iSTFT/OLA: separated complex spectra never
+        # materialize in HBM (BASELINE.json:5).
+        return ops.masked_istft(
+            out["spec"], masks, dcfg.n_fft, dcfg.hop_length,
+            window=dcfg.window, mask_type=dcfg.mask_type,
+        )
 
     return separate
 
 
-def build_eval_step(cfg, g) -> Callable[[Any, jax.Array, jax.Array], Dict[str, jax.Array]]:
+def build_eval_step(cfg, g, axis_names: Tuple[str, ...] = ()) -> Callable[[Any, jax.Array, jax.Array], Dict[str, jax.Array]]:
     """Jitted eval: mix → separate → best-permutation SI-SDR (the contract
     metric, BASELINE.json:2) plus the input-mixture SI-SDR for reference."""
     separate = build_separate_fn(cfg, g)
 
     def eval_step(g_params, sources, rng):
-        mixture, scaled = mix_sources(sources, rng, cfg.data)
+        offset = _shard_offset(axis_names, sources.shape[0])
+        mixture, scaled = mix_sources(sources, rng, cfg.data, offset)
         est = separate(g_params, mixture)
         t = est.shape[-1]
         tgt = scaled[..., :t]
         sisdr = pit_si_sdr(est, tgt).mean()
         mix_rep = jnp.broadcast_to(mixture[:, None, :t], tgt.shape)
         baseline = pit_si_sdr(mix_rep, tgt).mean()
-        return {"si_sdr": sisdr, "si_sdr_mix": baseline,
-                "si_sdr_improvement": sisdr - baseline}
+        out = {"si_sdr": sisdr, "si_sdr_mix": baseline,
+               "si_sdr_improvement": sisdr - baseline}
+        return jax.lax.pmean(out, axis_names) if axis_names else out
 
     return eval_step

@@ -1,0 +1,110 @@
+"""Data layer tests: synthetic bank, wav-dir corpus loader (synthetic
+fixtures only — no network, SURVEY.md §7.3), on-device mixing, device bank."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gan_sass_tf_tpu import config
+from gan_sass_tf_tpu.data import SyntheticDataset, WavDirDataset, make_dataset, mix_sources
+from gan_sass_tf_tpu.utils.wav_io import write_wav
+
+
+def _cfg(**data_kw):
+    cfg = config.get_config("2src_toy_cpu")
+    return cfg.replace(
+        data=cfg.data.__class__(**{**cfg.data.__dict__,
+                                   "segment_seconds": 0.25, **data_kw}),
+        train=cfg.train.__class__(**{**cfg.train.__dict__, "batch_size": 4}),
+    )
+
+
+def test_synthetic_batch_shape_and_determinism():
+    cfg = _cfg()
+    a = SyntheticDataset(cfg, seed=5).batch()
+    b = SyntheticDataset(cfg, seed=5).batch()
+    assert a.shape == (4, 2, cfg.segment_samples)
+    assert np.abs(a).max() <= 1.0 + 1e-5
+    np.testing.assert_array_equal(a, b)  # deterministic per seed
+    c = SyntheticDataset(cfg, seed=6).batch()
+    assert np.abs(a - c).max() > 0
+
+
+def _make_corpus(root, sr, n_speakers=3, utts=2, length=4000):
+    rng = np.random.default_rng(0)
+    for spk in range(n_speakers):
+        d = os.path.join(root, f"spk{spk}")
+        os.makedirs(d)
+        for u in range(utts):
+            wav = rng.standard_normal(length).astype(np.float32) * 0.3
+            write_wav(os.path.join(d, f"utt{u}.wav"), sr, wav)
+
+
+def test_wav_dir_dataset(tmp_path):
+    cfg = _cfg(dataset="wav_dir", data_dir=str(tmp_path))
+    _make_corpus(str(tmp_path), cfg.dsp.sample_rate)
+    ds = make_dataset(cfg, seed=1)
+    batch = ds.batch()
+    assert batch.shape == (4, 2, cfg.segment_samples)
+    assert np.isfinite(batch).all()
+    assert np.abs(batch).max() > 0
+
+
+def test_wav_dir_too_few_speakers(tmp_path):
+    cfg = _cfg(dataset="wav_dir", data_dir=str(tmp_path), num_sources=3)
+    _make_corpus(str(tmp_path), cfg.dsp.sample_rate, n_speakers=2)
+    with pytest.raises(ValueError, match="speakers"):
+        WavDirDataset(cfg, seed=0)
+
+
+def test_wav_dir_missing_root():
+    cfg = _cfg(dataset="wav_dir", data_dir="/nonexistent/path")
+    with pytest.raises(FileNotFoundError):
+        WavDirDataset(cfg, seed=0)
+
+
+def test_wav_dir_resamples(tmp_path):
+    """Utterances at a different rate are linear-resampled to the config."""
+    cfg = _cfg(dataset="wav_dir", data_dir=str(tmp_path))
+    _make_corpus(str(tmp_path), 16000)  # corpus at 2x the config rate
+    ds = WavDirDataset(cfg, seed=0)
+    batch = ds.batch(2)
+    assert batch.shape == (2, 2, cfg.segment_samples)
+
+
+def test_mix_sources_mesh_offset_invariance():
+    """mix(batch)[i] must equal mix(shard)[i - offset] — the property the
+    shard_map DP path relies on."""
+    cfg = _cfg()
+    rng = jax.random.PRNGKey(3)
+    src = jnp.asarray(
+        np.random.default_rng(0).standard_normal((4, 2, 500)).astype(np.float32)
+    )
+    mix_full, scaled_full = mix_sources(src, rng, cfg.data, example_offset=0)
+    mix_half, scaled_half = mix_sources(src[2:], rng, cfg.data, example_offset=2)
+    np.testing.assert_allclose(np.asarray(mix_full[2:]), np.asarray(mix_half),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(scaled_full[2:]),
+                               np.asarray(scaled_half), atol=1e-6)
+
+
+def test_device_bank_sampling():
+    from gan_sass_tf_tpu.data.device_bank import build_bank, sample_bank
+
+    cfg = _cfg(device_bank=True, bank_utterances=8)
+    bank = jnp.asarray(build_bank(cfg, seed=0))
+    assert bank.shape == (2, 8, cfg.segment_samples)
+    rng = jax.random.PRNGKey(0)
+    batch = sample_bank(bank, rng, local_batch=4, example_offset=0)
+    assert batch.shape == (4, 2, cfg.segment_samples)
+    # offset invariance (mesh-size independence)
+    tail = sample_bank(bank, rng, local_batch=2, example_offset=2)
+    np.testing.assert_allclose(np.asarray(batch[2:]), np.asarray(tail),
+                               atol=0)
+    # every sampled row is a circular shift of some bank row (energy match)
+    b0 = np.asarray(batch[0, 0])
+    energies = np.square(np.asarray(bank[0])).sum(axis=-1)
+    assert np.any(np.abs(energies - np.square(b0).sum()) < 1e-2)

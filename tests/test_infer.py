@@ -121,3 +121,21 @@ def test_cli_configs_and_overrides(capsys):
     assert cfg.model.g_channels == (8, 16)
     with pytest.raises(AttributeError):
         cli._apply_overrides(cfg, ["train.nope=1"])
+
+
+def test_streaming_scan_variant(g_params):
+    """Scan-carry low-latency streamer: one jitted program over all chunks,
+    overlap state carried; covers the full input length."""
+    from gan_sass_tf_tpu.infer import separate_streaming_scan
+
+    cfg, g, params = g_params
+    sr = cfg.dsp.sample_rate
+    t = int(2.5 * sr)  # not a whole number of chunks
+    n = np.arange(t) / sr
+    wav = (np.sin(2 * np.pi * 300 * n) + np.sin(2 * np.pi * 1500 * n)).astype(
+        np.float32
+    )
+    out = separate_streaming_scan(params, cfg, wav)
+    assert out.shape == (cfg.data.num_sources, t)
+    assert np.isfinite(out).all()
+    assert np.abs(out).max() > 1e-4

@@ -163,3 +163,23 @@ def test_stft_features_dispatch_fallback(rng):
     with pytest.raises(ValueError, match="unknown emit"):
         from gan_sass_tf_tpu.ops.pallas_stft import stft_features_pallas
         stft_features_pallas(x, 512, 128, emit=("nope",))
+
+
+@pytest.mark.parametrize("mask_type", ["magnitude", "complex"])
+def test_masked_istft_pallas_matches_oracle(rng, mask_type):
+    """Fused mask-apply + iSTFT/OLA vs apply_mask + istft oracle chain."""
+    from gan_sass_tf_tpu.ops.pallas_istft import masked_istft_pallas
+
+    n_fft, hop, t, b, s = 512, 128, 16384, 2, 3
+    x = jnp.asarray(_rand(rng, b, t))
+    spec = dsp.stft(x, n_fft, hop)
+    m_shape = (b, s) + spec.shape[-2:] + ((2,) if mask_type == "complex" else ())
+    masks = jnp.asarray(rng.uniform(-1, 1, m_shape).astype(np.float32))
+    ours = np.asarray(masked_istft_pallas(spec, masks, n_fft, hop,
+                                          mask_type=mask_type))
+    est = dsp.apply_mask(spec, masks, mask_type)
+    ref = np.asarray(dsp.istft(est, n_fft, hop, norm="global"))
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(
+        ours[..., hop:-hop], ref[..., hop:-hop], atol=3e-4, rtol=1e-3
+    )

@@ -12,12 +12,14 @@ from gan_sass_tf_tpu.parallel import batch_sharding, make_mesh
 from gan_sass_tf_tpu.train import Experiment
 
 
-def _cfg():
+def _cfg(device_bank=False):
     cfg = config.get_config("2src_toy_cpu")
     return cfg.replace(
         train=cfg.train.__class__(**{**cfg.train.__dict__, "batch_size": 8}),
         data=cfg.data.__class__(**{**cfg.data.__dict__,
-                                   "segment_seconds": 0.25}),
+                                   "segment_seconds": 0.25,
+                                   "device_bank": device_bank,
+                                   "bank_utterances": 8}),
         model=cfg.model.__class__(**{**cfg.model.__dict__,
                                      "g_channels": (8,), "d_channels": (8,),
                                      "d_norm": "group"}),
@@ -87,3 +89,22 @@ def test_batch_not_divisible_raises():
                                                    "batch_size": 6}))
     with pytest.raises(ValueError):
         Experiment(bad, workdir=None)
+
+
+def test_bank_mode_matches_across_mesh_sizes():
+    """Device-bank in-graph sampling must also be mesh-size-invariant:
+    per-global-example keys make the sampled batches identical."""
+    cfg = _cfg(device_bank=True)
+    mesh8 = make_mesh(cfg.mesh)
+    mesh1 = make_mesh(cfg.mesh.__class__(data_axis_size=1),
+                      devices=jax.devices()[:1])
+    exp8 = Experiment(cfg, workdir=None, mesh=mesh8)
+    exp1 = Experiment(cfg, workdir=None, mesh=mesh1)
+    for _ in range(2):
+        exp8.state, m8 = exp8._train_step(exp8.state, exp8._bank, exp8._train_rng)
+        exp1.state, m1 = exp1._train_step(exp1.state, exp1._bank, exp1._train_rng)
+    for k in m8:
+        np.testing.assert_allclose(
+            float(m8[k]), float(m1[k]), rtol=2e-4, atol=1e-5,
+            err_msg=f"bank-mode metric {k} diverged across mesh sizes",
+        )

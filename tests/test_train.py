@@ -96,3 +96,59 @@ def test_three_source_pit_training():
     exp = Experiment(cfg, workdir=None)
     m = exp.train(num_steps=2)
     assert np.isfinite(m["g_loss"]) and np.isfinite(m["d_loss"])
+
+
+def test_logmel_feature_training():
+    """wsj0-style log-mel frontend: fused features path + dense mask head."""
+    base = config.get_config("wsj0_logmel")
+    cfg = base.replace(
+        dsp=base.dsp.__class__(**{**base.dsp.__dict__, "n_fft": 128,
+                                  "hop_length": 32, "win_length": 128,
+                                  "n_mels": 24}),
+        train=base.train.__class__(**{**base.train.__dict__,
+                                      "batch_size": 8}),
+        data=base.data.__class__(**{**base.data.__dict__,
+                                    "dataset": "synthetic",
+                                    "segment_seconds": 0.25}),
+        model=base.model.__class__(**{**base.model.__dict__,
+                                      "g_channels": (8,),
+                                      "d_channels": (8, 16)}),
+    )
+    exp = Experiment(cfg, workdir=None)
+    m = exp.train(num_steps=2)
+    assert np.isfinite(m["g_loss"]) and np.isfinite(m["d_loss"])
+
+
+def test_complex_mask_training():
+    """music_complex_44k-style complex-STFT masks (BASELINE.json:10)."""
+    base = config.get_config("music_complex_44k")
+    cfg = base.replace(
+        dsp=base.dsp.__class__(**{**base.dsp.__dict__, "sample_rate": 8000,
+                                  "n_fft": 128, "hop_length": 32,
+                                  "win_length": 128}),
+        train=base.train.__class__(**{**base.train.__dict__,
+                                      "batch_size": 8}),
+        data=base.data.__class__(**{**base.data.__dict__,
+                                    "segment_seconds": 0.25}),
+        model=base.model.__class__(**{**base.model.__dict__,
+                                      "g_channels": (8,),
+                                      "d_channels": (8, 16)}),
+    )
+    exp = Experiment(cfg, workdir=None)
+    m = exp.train(num_steps=2)
+    assert np.isfinite(m["g_loss"]) and np.isfinite(m["d_loss"])
+
+
+def test_wav_domain_recon_training():
+    """Waveform-domain reconstruction loss: trains through the iSTFT VJP."""
+    base = _tiny_cfg()
+    cfg = base.replace(
+        loss=base.loss.__class__(**{**base.loss.__dict__,
+                                    "recon_domain": "wav"}),
+    )
+    exp = Experiment(cfg, workdir=None)
+    history = []
+    exp.train(num_steps=10, log_fn=lambda s, m: history.append(dict(m)))
+    for m in history:
+        assert np.isfinite(m["g_recon"])
+    assert history[-1]["g_recon"] < history[0]["g_recon"] * 2  # sane scale
