@@ -75,13 +75,14 @@ def build_train_step(cfg, g, d, axis_names: Tuple[str, ...] = (),
         masks = g.apply(_g_vars(g_params), feats, train=train)
         if need_est_spec:
             est_spec = apply_mask(spec_mix, masks, dcfg.mask_type)
-            est_logmag = logmag(est_spec, dcfg.eps)
+            est_mag = jnp.abs(est_spec)
         else:
             # Magnitude masks: |m·X| == m·|X| — skip the complex multiply
             # and its 2x-sized materialization (the step is HBM-bound).
             est_spec = None
-            est_logmag = jnp.log(masks * mag_mix[:, None] + dcfg.eps)
-        return masks, est_spec, est_logmag
+            est_mag = masks * mag_mix[:, None]
+        est_logmag = jnp.log(est_mag + dcfg.eps)
+        return masks, est_spec, est_mag, est_logmag
 
     d_in_dtype = jnp.dtype(cfg.model.compute_dtype)
 
@@ -127,19 +128,31 @@ def build_train_step(cfg, g, d, axis_names: Tuple[str, ...] = (),
     # ---- G update --------------------------------------------------------
 
     def g_loss_fn(g_params, d_params, d_stats, feats, spec_mix, mag_mix,
-                  mix_logmag, tgt_logmag_aligned, tgt_wavs_aligned):
-        _, est_spec, est_logmag = g_forward(
+                  mix_logmag, tgt_recon_aligned, tgt_wavs_aligned):
+        _, est_spec, est_mag, est_logmag = g_forward(
             g_params, feats, spec_mix, mag_mix, train=True)
         # Reconstruction against PIT-pre-aligned targets (BASELINE.json:9).
         # The permutation is argmin'd once per step outside the grad — it is
         # piecewise-constant in the params, so the gradient is unchanged a.e.
         # and the (B,S,S,T,K) pairwise tensor never enters the backward pass.
+        # Domains: "spec" = log-magnitude L1/MSE (the reference's loss);
+        # "mag" = linear magnitude (does not over-weight silent bins);
+        # "wav" = waveform through the iSTFT VJP (supports si_sdr loss).
         if lcfg.recon_domain == "wav":
             est_r = ops.istft(est_spec, n_fft, hop, window=dcfg.window)
             tgt_r = tgt_wavs_aligned[..., : est_r.shape[-1]]
+            if lcfg.recon_loss == "si_sdr":
+                from gan_sass_tf_tpu.losses import si_sdr as _si_sdr
+
+                rec = -jnp.mean(_si_sdr(est_r, tgt_r))
+            else:
+                rec = recon_loss(est_r, tgt_r, lcfg.recon_loss)
         else:
-            est_r, tgt_r = est_logmag, tgt_logmag_aligned
-        rec = recon_loss(est_r, tgt_r, lcfg.recon_loss)
+            if lcfg.recon_domain == "mag":
+                est_r, tgt_r = est_mag, tgt_recon_aligned
+            else:
+                est_r, tgt_r = est_logmag, tgt_recon_aligned
+            rec = recon_loss(est_r, tgt_r, lcfg.recon_loss)
         # Adversarial term against the (already-updated) discriminator.
         fake_logits, _ = d_apply(
             d_params, d_stats, d_input(mix_logmag, est_logmag), update_stats=False
@@ -174,26 +187,40 @@ def build_train_step(cfg, g, d, axis_names: Tuple[str, ...] = (),
         mag_mix = mix_out["mag"]
         mix_logmag = mix_out["logmag"]
         feats = mix_out["logmel"] if dcfg.feature == "logmel" else mix_logmag
-        tgt_logmag = ops.stft_features(scaled, dcfg, emit=("logmag",))["logmag"]
+        mag_domain = lcfg.recon_domain == "mag"
+        tgt_emit = ("mag", "logmag") if mag_domain else ("logmag",)
+        tgt_out = ops.stft_features(scaled, dcfg, emit=tgt_emit)
+        tgt_logmag = tgt_out["logmag"]
+        tgt_recon = tgt_out["mag"] if mag_domain else tgt_logmag
 
         # One G forward serves every D update in the alternating schedule,
         # and the PIT permutation is matched once per step (no grad).
-        _, _, est_logmag = g_forward(
+        _, _, est_mag0, est_logmag = g_forward(
             state.g_params, feats, spec_mix, mag_mix, train=True)
         est_logmag = jax.lax.stop_gradient(est_logmag)
+        est_match = jax.lax.stop_gradient(est_mag0) if mag_domain else est_logmag
+        tgt_match = tgt_recon
         if lcfg.use_pit:
-            # Permutation matching only needs the argmin — bf16 halves the
-            # traffic of the (B,S,S,T,K) pairwise tensor.
-            _, perm = pit_loss(est_logmag.astype(jnp.bfloat16),
-                               tgt_logmag.astype(jnp.bfloat16),
-                               lcfg.recon_loss)
+            # Match in the reconstruction domain.  The argmin only needs the
+            # pairwise tensor once, in bf16 (halves its traffic).
+            match_kind = "l1" if lcfg.recon_loss == "si_sdr" else lcfg.recon_loss
+            _, perm = pit_loss(est_match.astype(jnp.bfloat16),
+                               tgt_match.astype(jnp.bfloat16),
+                               match_kind)
             tgt_logmag_aligned = align_to_perm(tgt_logmag, perm)
+            tgt_recon_aligned = (
+                align_to_perm(tgt_recon, perm) if mag_domain
+                else tgt_logmag_aligned
+            )
             scaled_aligned = (
                 align_to_perm(scaled, perm)
                 if lcfg.recon_domain == "wav" else scaled
             )
         else:
-            tgt_logmag_aligned, scaled_aligned = tgt_logmag, scaled
+            tgt_logmag_aligned = tgt_recon_aligned = tgt_logmag
+            if mag_domain:
+                tgt_recon_aligned = tgt_recon
+            scaled_aligned = scaled
 
         d_params, d_stats, d_opt = state.d_params, state.d_batch_stats, state.d_opt_state
         d_loss = jnp.zeros(())
@@ -214,7 +241,7 @@ def build_train_step(cfg, g, d, axis_names: Tuple[str, ...] = (),
         (g_loss, (adv, rec)), g_grads = jax.value_and_grad(
             g_loss_fn, has_aux=True
         )(state.g_params, d_params, d_stats, feats, spec_mix, mag_mix,
-          mix_logmag, tgt_logmag_aligned, scaled_aligned)
+          mix_logmag, tgt_recon_aligned, scaled_aligned)
         g_grads = _pmean(g_grads)              # DP all-reduce over the mesh
         g_updates, g_opt = g_tx.update(g_grads, state.g_opt_state, state.g_params)
         g_params = jax.tree_util.tree_map(
