@@ -262,7 +262,9 @@ def _wsj0() -> Config:
                       mask_type="magnitude"),
         model=ModelConfig(generator="conv", discriminator="conv",
                           g_channels=(32, 64, 128), d_channels=(32, 64, 128)),
-        loss=LossConfig(use_pit=True),
+        # Linear-magnitude L1 (log-L1 scores the same on the toy benchmark;
+        # see BASELINE.md quality table).
+        loss=LossConfig(use_pit=True, recon_domain="mag"),
         train=TrainConfig(batch_size=16),
         data=DataConfig(dataset="wav_dir", num_sources=2,
                         segment_seconds=3.0),
@@ -315,8 +317,13 @@ def _stream() -> Config:
         dsp=DSPConfig(sample_rate=16000, n_fft=512, hop_length=128,
                       win_length=512, feature="logmag", mask_type="magnitude"),
         model=ModelConfig(generator="conv", discriminator="conv",
-                          g_channels=(32, 64, 128), d_channels=(32, 64, 128)),
-        loss=LossConfig(use_pit=True),
+                          g_channels=(32, 64, 128), d_channels=(32, 64, 128),
+                          compute_dtype="bfloat16"),
+        # Deployment preset: waveform −SI-SDR reconstruction measured best
+        # (+21.9 dB SI-SDRi at 10k steps vs +19.7 for mag-/log-L1; see
+        # BASELINE.md quality table).
+        loss=LossConfig(use_pit=True, recon_domain="wav",
+                        recon_loss="si_sdr", recon_weight=1.0),
         train=TrainConfig(batch_size=32),
         data=DataConfig(dataset="synthetic", num_sources=2,
                         segment_seconds=2.0),

@@ -119,9 +119,10 @@ def istft(
         w_syn = (w64 / np.where(d_full <= 1e-30, 1.0, d_full)).astype(np.float32)
         y = overlap_add(frames_t * jnp.asarray(w_syn), hop)
     elif norm == "global":
-        env = cola_norm(w, hop, f)
-        env = np.where(env <= 1e-30, 1.0, env)
-        y = overlap_add(frames_t * jnp.asarray(w), hop) / jnp.asarray(env)
+        from gan_sass_tf_tpu.dsp.windows import safe_inv_env
+
+        inv_env = safe_inv_env(cola_norm(w, hop, f))
+        y = overlap_add(frames_t * jnp.asarray(w), hop) * jnp.asarray(inv_env)
     else:
         raise ValueError(f"unknown istft norm {norm!r}")
     if length is not None:

@@ -24,6 +24,21 @@ def get_window(name: str, win_length: int, dtype=np.float32) -> np.ndarray:
     return w.astype(dtype)
 
 
+def safe_inv_env(env: np.ndarray, rel_floor: float = 1e-2) -> np.ndarray:
+    """1/env with the envelope clamped to rel_floor·max(env).
+
+    At the signal edges the overlap-added squared-window envelope → 0
+    (w[0] == 0 for periodic Hann); dividing by it amplifies float roundoff
+    into huge outliers — a handful of such samples dominate waveform-level
+    metrics (SI-SDR) and resynthesis.  Clamping attenuates those samples
+    toward zero instead (the tf.signal behavior at edges), exact everywhere
+    the envelope is healthy.
+    """
+    env = np.asarray(env, np.float64)
+    floor = rel_floor * env.max()
+    return (1.0 / np.maximum(env, floor)).astype(np.float32)
+
+
 def cola_norm(window: np.ndarray, hop: int, n_frames: int) -> np.ndarray:
     """Overlap-added squared-window envelope for least-squares iSTFT
     normalization (the denominator of tf.signal.inverse_stft_window_fn,

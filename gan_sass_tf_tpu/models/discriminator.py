@@ -32,6 +32,10 @@ def _conv(cfg):
 
 
 class ConvDiscriminator(nn.Module):
+    """norm options: "batch" (the reference's BN), "group" (stateless),
+    "spectral" (spectral normalization of the conv weights — the standard
+    GAN-stability regularizer, bounding D's Lipschitz constant), "none"."""
+
     channels: Sequence[int] = (32, 64, 128)
     norm: str = "batch"
     leak: float = 0.2
@@ -44,7 +48,7 @@ class ConvDiscriminator(nn.Module):
         if self.norm == "group":
             return nn.GroupNorm(num_groups=min(8, x.shape[-1]),
                                 dtype=self.dtype)(x)
-        if self.norm == "none":
+        if self.norm in ("none", "spectral"):
             return x
         raise ValueError(f"unknown norm {self.norm!r}")
 
@@ -52,11 +56,22 @@ class ConvDiscriminator(nn.Module):
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         """(B, T, F, C) -> (B,) real/fake logits."""
         x = x.astype(self.dtype)
+        spectral = self.norm == "spectral"
         for i, c in enumerate(self.channels):
-            x = nn.Conv(c, (4, 4), strides=(2, 2), dtype=self.dtype)(x)
-            if i > 0:  # reference convention: no norm on the first conv
+            conv = nn.Conv(c, (4, 4), strides=(2, 2), dtype=self.dtype)
+            if spectral:
+                # Power-iteration state lives in 'batch_stats' (same mutable
+                # collection the train step already threads for BN).
+                x = nn.SpectralNorm(conv)(x, update_stats=train)
+            else:
+                x = conv(x)
+            if i > 0 and not spectral:  # reference: no norm on first conv
                 x = self._norm(x, train)
             x = nn.leaky_relu(x, self.leak)
         x = jnp.mean(x, axis=(1, 2))          # global average pool (B, C)
         # Logits in f32: GAN loss numerics are sensitive to bf16 rounding.
-        return nn.Dense(1, dtype=jnp.float32)(x.astype(jnp.float32))[..., 0]
+        head = nn.Dense(1, dtype=jnp.float32)
+        x = x.astype(jnp.float32)
+        if spectral:
+            return nn.SpectralNorm(head)(x, update_stats=train)[..., 0]
+        return head(x)[..., 0]

@@ -25,7 +25,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from gan_sass_tf_tpu.dsp.stft import frame_signal
-from gan_sass_tf_tpu.dsp.windows import cola_norm, get_window
+from gan_sass_tf_tpu.dsp.windows import cola_norm, get_window, safe_inv_env
 
 
 def _round_up(x: int, m: int) -> int:
@@ -99,11 +99,9 @@ def _istft_ri_fwd_impl(re: jax.Array, im: jax.Array, n_fft: int, hop: int,
     im_p = jnp.pad(im, ((0, 0), (0, 0), (0, k_pad - n_bins)))
     ci, si = _idft_matrices_split(n_fft, hop, window, k_pad)
     w = get_window(window, n_fft)
-    env = cola_norm(w, hop, f).astype(np.float64)
-    env = np.where(env <= 1e-30, 1.0, env)
     r = n_fft // hop
     nrows = f + r - 1
-    inv_env = (1.0 / env).astype(np.float32).reshape(nrows, hop)
+    inv_env = safe_inv_env(cola_norm(w, hop, f)).reshape(nrows, hop)
     kernel = functools.partial(_istft_kernel, n_frames=f, hop=hop, n_fft=n_fft)
     out = pl.pallas_call(
         kernel,
@@ -149,9 +147,7 @@ def _istft_ri_bwd(n_fft, hop, window, res, dy):
     b, f, n_bins = shape
     k_pad = _round_up(n_bins, 128)
     w = get_window(window, n_fft)
-    env = cola_norm(w, hop, f).astype(np.float64)
-    env = np.where(env <= 1e-30, 1.0, env)
-    dy_n = dy * jnp.asarray((1.0 / env).astype(np.float32))
+    dy_n = dy * jnp.asarray(safe_inv_env(cola_norm(w, hop, f)))
     dframes = frame_signal(dy_n, n_fft, hop)          # (B, F, n_fft)
     ci, si = _idft_matrices(n_fft, window, k_pad)
     dre = jnp.matmul(dframes, jnp.asarray(ci.T),
@@ -224,11 +220,9 @@ def masked_istft_pallas(
 
     ci, si = _idft_matrices_split(n_fft, hop, window, k_pad)
     w = get_window(window, n_fft)
-    env = cola_norm(w, hop, f).astype(np.float64)
-    env = np.where(env <= 1e-30, 1.0, env)
     r = n_fft // hop
     nrows = f + r - 1
-    inv_env = (1.0 / env).astype(np.float32).reshape(nrows, hop)
+    inv_env = safe_inv_env(cola_norm(w, hop, f)).reshape(nrows, hop)
 
     m_block = (1, 1, f, k_pad) + ((2,) if complex_mask else ())
     m_index = (lambda i: (i // s, i % s, 0, 0, 0)) if complex_mask else (

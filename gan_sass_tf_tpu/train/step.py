@@ -67,7 +67,9 @@ def build_train_step(cfg, g, d, axis_names: Tuple[str, ...] = (),
     dcfg, lcfg = cfg.dsp, cfg.loss
     n_fft, hop = dcfg.n_fft, dcfg.hop_length
     g_tx, d_tx = make_optimizers(cfg)
-    has_bn = cfg.model.d_norm == "batch"
+    # "batch" carries BN running stats; "spectral" carries power-iteration
+    # vectors — both live in the 'batch_stats' mutable collection.
+    has_bn = cfg.model.d_norm in ("batch", "spectral")
 
     need_est_spec = lcfg.recon_domain == "wav" or dcfg.mask_type != "magnitude"
 

@@ -98,3 +98,17 @@ def test_registry_unknown_names():
         models.build_generator(bad)
     assert "conv" in models.list_generators()
     assert "conv" in models.list_discriminators()
+
+
+def test_discriminator_spectral_norm():
+    cfg = config.get_config("2src_toy_cpu")
+    cfg = cfg.replace(model=cfg.model.__class__(**{
+        **cfg.model.__dict__, "d_norm": "spectral"}))
+    d = models.build_discriminator(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 129, 2))
+    variables = d.init(jax.random.PRNGKey(0), x, train=False)
+    assert "batch_stats" in variables  # power-iteration u/v vectors
+    logits, new_state = d.apply(variables, x, train=True,
+                                mutable=["batch_stats"])
+    assert logits.shape == (2,)
+    assert np.isfinite(np.asarray(logits)).all()

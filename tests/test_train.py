@@ -183,3 +183,15 @@ def test_si_sdr_loss_training():
     first = np.mean([h["g_recon"] for h in history[:5]])
     last = np.mean([h["g_recon"] for h in history[-5:]])
     assert last < first + 0.5, f"-SI-SDR exploded: {first} -> {last}"
+
+
+def test_spectral_norm_d_training():
+    """GAN training with a spectral-normalized discriminator."""
+    base = _tiny_cfg()
+    cfg = base.replace(
+        model=base.model.__class__(**{**base.model.__dict__,
+                                      "d_norm": "spectral"}),
+    )
+    exp = Experiment(cfg, workdir=None)
+    m = exp.train(num_steps=3)
+    assert np.isfinite(m["g_loss"]) and np.isfinite(m["d_loss"])
