@@ -56,6 +56,8 @@ def main(argv=None) -> int:
     p_train.add_argument("--no-resume", action="store_true")
     p_train.add_argument("--debug-nans", action="store_true",
                          help="trip on the first non-finite value in the step")
+    p_train.add_argument("--tensorboard", action="store_true",
+                         help="mirror metrics to <workdir>/tb via tf.summary")
 
     p_sep = sub.add_parser("separate", help="separate a mixture wav into sources")
     _add_common(p_sep)
@@ -108,7 +110,8 @@ def main(argv=None) -> int:
         from gan_sass_tf_tpu.utils.profiler import parse_profile_steps
 
         exp = Experiment(cfg, workdir=args.workdir, resume=not args.no_resume,
-                         debug_nans=args.debug_nans)
+                         debug_nans=args.debug_nans,
+                         tensorboard=args.tensorboard)
         prof = parse_profile_steps(args.profile_steps) if args.profile_steps else None
 
         def log(step, m):

@@ -9,7 +9,7 @@ the STFT frame grid and crops the result.
 from __future__ import annotations
 
 import os
-from typing import List, Optional
+from typing import List
 
 import jax
 import jax.numpy as jnp

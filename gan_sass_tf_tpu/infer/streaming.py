@@ -18,15 +18,13 @@ Pipeline:
 from __future__ import annotations
 
 import itertools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from gan_sass_tf_tpu import models
 from gan_sass_tf_tpu.dsp.stft import overlap_add
-from gan_sass_tf_tpu.parallel import batch_sharding, make_mesh, replicated_sharding
+from gan_sass_tf_tpu.parallel import batch_sharding, make_mesh
 from gan_sass_tf_tpu.train.step import build_separate_fn
 
 

@@ -6,7 +6,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from gan_sass_tf_tpu.losses.pit import pairwise_losses, permutations_for
+from gan_sass_tf_tpu.losses.pit import permutations_for
 
 import numpy as np
 

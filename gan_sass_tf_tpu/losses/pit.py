@@ -16,7 +16,7 @@ unroll; everything stays jit-compatible with static shapes.
 from __future__ import annotations
 
 import itertools
-from typing import Callable, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

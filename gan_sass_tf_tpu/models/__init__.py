@@ -16,12 +16,12 @@ from gan_sass_tf_tpu.models.generator import (
     MaskHead,
     ToyMLPGenerator,
 )
-from gan_sass_tf_tpu.models.discriminator import ConvDiscriminator
+from gan_sass_tf_tpu.models.discriminator import ConvDiscriminator, PatchDiscriminator
 
 __all__ = [
     "build_generator", "build_discriminator",
     "list_generators", "list_discriminators",
     "register_generator", "register_discriminator",
     "ToyMLPGenerator", "ConvUNetGenerator", "BiLSTMGenerator", "MaskHead",
-    "ConvDiscriminator",
+    "ConvDiscriminator", "PatchDiscriminator",
 ]

@@ -31,6 +31,16 @@ def _conv(cfg):
     )
 
 
+@register_discriminator("patch")
+def _patch(cfg):
+    return PatchDiscriminator(
+        channels=cfg.model.d_channels,
+        norm=cfg.model.d_norm,
+        leak=cfg.model.leak,
+        dtype=jnp.dtype(cfg.model.compute_dtype),
+    )
+
+
 class ConvDiscriminator(nn.Module):
     """norm options: "batch" (the reference's BN), "group" (stateless),
     "spectral" (spectral normalization of the conv weights — the standard
@@ -75,3 +85,31 @@ class ConvDiscriminator(nn.Module):
         if spectral:
             return nn.SpectralNorm(head)(x, update_stats=train)[..., 0]
         return head(x)[..., 0]
+
+
+class PatchDiscriminator(ConvDiscriminator):
+    """PatchGAN variant: instead of one global logit, a 1x1 conv emits a
+    real/fake logit per time-frequency patch of the final feature map and
+    the loss averages over patches — a stronger locality prior for
+    spectrogram textures (each patch judged independently).  Returns
+    (B, T', F') patch logits; the GAN losses reduce over all axes, so it is
+    drop-in compatible with the train step."""
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        x = x.astype(self.dtype)
+        spectral = self.norm == "spectral"
+        for i, c in enumerate(self.channels):
+            conv = nn.Conv(c, (4, 4), strides=(2, 2), dtype=self.dtype)
+            if spectral:
+                x = nn.SpectralNorm(conv)(x, update_stats=train)
+            else:
+                x = conv(x)
+            if i > 0 and not spectral:
+                x = self._norm(x, train)
+            x = nn.leaky_relu(x, self.leak)
+        head = nn.Conv(1, (1, 1), dtype=jnp.float32)
+        x = x.astype(jnp.float32)
+        patches = (nn.SpectralNorm(head)(x, update_stats=train)
+                   if spectral else head(x))               # (B, T', F', 1)
+        return patches[..., 0]                              # (B, T', F')

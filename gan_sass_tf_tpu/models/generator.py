@@ -21,7 +21,7 @@ loops in the compiled graph).
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import flax.linen as nn
 import jax

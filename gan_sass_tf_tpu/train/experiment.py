@@ -15,7 +15,6 @@ import time
 from typing import Dict, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from gan_sass_tf_tpu import models
@@ -32,7 +31,7 @@ from gan_sass_tf_tpu.train.step import (
     build_separate_fn,
     build_train_step,
 )
-from gan_sass_tf_tpu.utils import MetricsWriter, profile_trace
+from gan_sass_tf_tpu.utils import MetricsWriter
 
 
 class Experiment:
@@ -43,6 +42,7 @@ class Experiment:
         mesh=None,
         resume: bool = True,
         debug_nans: bool = False,
+        tensorboard: bool = False,
     ):
         if debug_nans:
             # NaN tripwire (SURVEY.md §5.2): recompile-and-locate on the
@@ -134,7 +134,10 @@ class Experiment:
                 build_bank(cfg, seed=cfg.train.seed), repl
             )
         self.metrics = MetricsWriter(
-            os.path.join(workdir, "metrics.jsonl") if workdir else None
+            os.path.join(workdir, "metrics.jsonl") if workdir else None,
+            tensorboard_dir=(
+                os.path.join(workdir, "tb") if workdir and tensorboard else None
+            ),
         )
         self._ckpt_mngr = None
         if workdir:

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from gan_sass_tf_tpu.data.mixer import mix_sources
-from gan_sass_tf_tpu.dsp import apply_mask, logmag, spec_features
+from gan_sass_tf_tpu.dsp import apply_mask, logmag
 from gan_sass_tf_tpu.losses import (
     align_to_perm,
     gan_d_loss,

@@ -81,3 +81,30 @@ def test_metrics_jsonl_written(tmp_path):
     lines = [json.loads(l) for l in open(path)]
     assert lines and all("g_loss" in l or "eval_si_sdr" in l for l in lines)
     assert any("mixture_sec_per_sec" in l for l in lines)
+
+
+def test_tensorboard_mirror(tmp_path):
+    import os
+
+    wd = str(tmp_path / "run")
+    cfg = _cfg()
+    exp = Experiment(cfg, workdir=wd, tensorboard=True)
+    exp.train(num_steps=2)
+    exp.close()
+    tb_dir = os.path.join(wd, "tb")
+    assert os.path.isdir(tb_dir) and os.listdir(tb_dir)  # event files written
+
+
+def test_profiler_trace_capture(tmp_path):
+    """--profile-steps machinery: xplane dump appears in workdir/profile."""
+    import os
+
+    wd = str(tmp_path / "run")
+    cfg = _cfg()
+    exp = Experiment(cfg, workdir=wd)
+    exp.train(num_steps=4, profile_steps=(1, 3))
+    exp.close()
+    prof = os.path.join(wd, "profile")
+    assert os.path.isdir(prof)
+    found = [f for _, _, fs in os.walk(prof) for f in fs]
+    assert found, "no profiler artifacts written"

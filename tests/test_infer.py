@@ -168,3 +168,34 @@ def test_oracle_irm_si_sdr_strongly_positive():
     t = est.shape[-1]
     sisdr = float(losses.pit_si_sdr(est, scaled[..., :t]).mean())
     assert sisdr > 10.0, f"oracle IRM SI-SDR too low: {sisdr}"
+
+
+def test_cli_train_eval_separate_end_to_end(tmp_path, capsys):
+    """Full CLI lifecycle on the toy config: train -> eval -> separate."""
+    from gan_sass_tf_tpu import cli
+
+    wd = str(tmp_path / "run")
+    common = ["--config", "2src_toy_cpu", "--workdir", wd,
+              "--set", "train.batch_size=8",
+              "--set", "data.segment_seconds=0.5",
+              "--set", "model.g_channels=8",
+              "--set", "model.d_channels=8",
+              "--set", "train.log_every=2",
+              "--set", "train.ckpt_every=4",
+              "--set", "train.eval_every=1000"]
+    assert cli.main(["train", *common, "--steps", "4"]) == 0
+    out = capsys.readouterr().out
+    assert "step 4" in out and os.path.exists(os.path.join(wd, "metrics.jsonl"))
+
+    assert cli.main(["eval", *common, "--batches", "1"]) == 0
+    out = capsys.readouterr().out
+    assert "si_sdr" in out
+
+    mix_path = str(tmp_path / "mix.wav")
+    wav = (0.4 * np.sin(2 * np.pi * 440 * np.arange(4000) / 8000)).astype(
+        np.float32)
+    write_wav(mix_path, 8000, wav)
+    out_dir = str(tmp_path / "sep")
+    assert cli.main(["separate", *common, "--input", mix_path,
+                     "--output-dir", out_dir]) == 0
+    assert len(os.listdir(out_dir)) == 2

@@ -112,3 +112,15 @@ def test_discriminator_spectral_norm():
                                 mutable=["batch_stats"])
     assert logits.shape == (2,)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_patch_discriminator():
+    cfg = config.get_config("2src_toy_cpu")
+    cfg = cfg.replace(model=cfg.model.__class__(**{
+        **cfg.model.__dict__, "discriminator": "patch"}))
+    d = models.build_discriminator(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 129, 2))
+    variables = d.init(jax.random.PRNGKey(0), x, train=False)
+    logits = d.apply(variables, x, train=True, mutable=["batch_stats"])[0]
+    assert logits.ndim == 3 and logits.shape[0] == 2  # per-patch logits
+    assert np.isfinite(np.asarray(logits)).all()

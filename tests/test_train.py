@@ -195,3 +195,14 @@ def test_spectral_norm_d_training():
     exp = Experiment(cfg, workdir=None)
     m = exp.train(num_steps=3)
     assert np.isfinite(m["g_loss"]) and np.isfinite(m["d_loss"])
+
+
+def test_patch_discriminator_training():
+    base = _tiny_cfg()
+    cfg = base.replace(
+        model=base.model.__class__(**{**base.model.__dict__,
+                                      "discriminator": "patch"}),
+    )
+    exp = Experiment(cfg, workdir=None)
+    m = exp.train(num_steps=2)
+    assert np.isfinite(m["g_loss"]) and np.isfinite(m["d_loss"])
