@@ -8,8 +8,9 @@ gradient all-reduce automatically from these sharding constraints — there is
 no hand-written communication backend (no NCCL/MPI equivalent exists or is
 needed on TPU, SURVEY.md §2.4).
 
-Multi-host bootstrap (jax.distributed.initialize) is the caller's job before
-building the mesh; single-host slices need nothing.
+Multi-host bootstrap: call parallel.initialize_distributed() before building
+the mesh (env-driven wrapper over jax.distributed.initialize; single-host
+slices are a no-op).
 """
 
 from __future__ import annotations

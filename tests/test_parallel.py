@@ -108,3 +108,13 @@ def test_bank_mode_matches_across_mesh_sizes():
             float(m8[k]), float(m1[k]), rtol=2e-4, atol=1e-5,
             err_msg=f"bank-mode metric {k} diverged across mesh sizes",
         )
+
+
+def test_initialize_distributed_noop_single_host(monkeypatch):
+    from gan_sass_tf_tpu.parallel import initialize_distributed
+
+    monkeypatch.delenv("COORDINATOR_ADDRESS", raising=False)
+    assert initialize_distributed() is False
+    # configured but single process → still a no-op
+    assert initialize_distributed("localhost:1234", num_processes=1,
+                                  process_id=0) is False
