@@ -93,6 +93,11 @@ class TrainConfig:
     beta1: float = 0.5
     beta2: float = 0.999
     d_steps: int = 1               # D updates per G update (alternating schedule)
+    steps_per_dispatch: int = 1    # lax.scan this many optimizer steps per
+    #                                jitted call (device-bank mode only) —
+    #                                amortizes per-dispatch host/relay
+    #                                overhead; logging/ckpt cadence rounds to
+    #                                dispatch boundaries
     grad_clip: float = 5.0
     total_steps: int = 100_000
     log_every: int = 50

@@ -85,6 +85,22 @@ class Experiment:
             cfg, self.generator, self.discriminator, axis_names=axes,
             from_bank=self._use_bank, local_batch=local_batch,
         )
+        # Multi-step dispatch (bank mode): scan K optimizer steps inside one
+        # jitted call — per-dispatch host/relay overhead amortizes K-fold.
+        self._spd = cfg.train.steps_per_dispatch if self._use_bank else 1
+        if self._spd > 1:
+            import jax.numpy as jnp
+
+            base_step = step_fn
+
+            def step_fn(state, bank, rng):  # noqa: F811
+                def body(s, _):
+                    return base_step(s, bank, rng)
+
+                state, ms = jax.lax.scan(
+                    body, state, None, length=cfg.train.steps_per_dispatch
+                )
+                return state, {k: v[-1] for k, v in ms.items()}
         data_spec = P() if self._use_bank else bspec
         self._train_step = jax.jit(
             jax.shard_map(
@@ -252,20 +268,27 @@ class Experiment:
         # iteration would force a full sync per step (~25 ms through the
         # TPU relay) and serialize the async dispatch pipeline.
         step_base = int(self.state.step)
-        for i in range(total):
+        spd = self._spd
+        n_dispatch = -(-total // spd)
+
+        def crossed(completed: int, every: int) -> bool:
+            """True when a cadence boundary falls inside this dispatch."""
+            return (completed // every) > ((completed - spd) // every)
+
+        for i in range(n_dispatch):
             if i == 1:
-                # Restart the throughput clock after step 0 so the reported
-                # mixture-sec/sec excludes XLA compilation.
+                # Restart the throughput clock after dispatch 0 so the
+                # reported mixture-sec/sec excludes XLA compilation.
                 t_start = time.perf_counter()
                 steps_timed = 0
-            step_now = step_base + i
+            step_now = step_base + i * spd
             if profile_steps and self.workdir:
-                if step_now == profile_steps[0] and not profiling:
+                if step_now >= profile_steps[0] and not profiling:
                     jax.profiler.start_trace(
                         os.path.join(self.workdir, "profile")
                     )
                     profiling = True
-                if step_now >= profile_steps[1] and profiling:
+                elif step_now >= profile_steps[1] and profiling:
                     jax.profiler.stop_trace()
                     profiling = False
             data = (
@@ -275,20 +298,21 @@ class Experiment:
             self.state, metrics = self._train_step(
                 self.state, data, self._train_rng
             )
-            steps_timed += 1
-            if (step_now + 1) % cfg.train.log_every == 0 or i == total - 1:
+            steps_timed += spd
+            completed = step_now + spd
+            if crossed(completed, cfg.train.log_every) or i == n_dispatch - 1:
                 last_metrics = {k: float(v) for k, v in metrics.items()}
                 elapsed = time.perf_counter() - t_start
                 mix_sec = steps_timed * samples_per_step / cfg.dsp.sample_rate
                 last_metrics["mixture_sec_per_sec"] = mix_sec / elapsed
-                self.metrics.write(step_now + 1, last_metrics)
+                self.metrics.write(completed, last_metrics)
                 if log_fn:
-                    log_fn(step_now + 1, last_metrics)
-            if self.workdir and (step_now + 1) % cfg.train.ckpt_every == 0:
+                    log_fn(completed, last_metrics)
+            if self.workdir and crossed(completed, cfg.train.ckpt_every):
                 self.save()
-            if (step_now + 1) % cfg.train.eval_every == 0:
+            if crossed(completed, cfg.train.eval_every):
                 ev = self.evaluate()
-                self.metrics.write(step_now + 1, {"eval_" + k: v for k, v in ev.items()})
+                self.metrics.write(completed, {"eval_" + k: v for k, v in ev.items()})
         stop.set()
         if thread is not None:
             thread.join(timeout=5)

@@ -206,3 +206,22 @@ def test_patch_discriminator_training():
     exp = Experiment(cfg, workdir=None)
     m = exp.train(num_steps=2)
     assert np.isfinite(m["g_loss"]) and np.isfinite(m["d_loss"])
+
+
+def test_multi_step_dispatch():
+    """steps_per_dispatch: K optimizer steps per jitted call (bank mode)."""
+    base = _tiny_cfg()
+    cfg = base.replace(
+        train=base.train.__class__(**{**base.train.__dict__,
+                                      "steps_per_dispatch": 4,
+                                      "log_every": 4}),
+        data=base.data.__class__(**{**base.data.__dict__,
+                                    "device_bank": True,
+                                    "bank_utterances": 8}),
+    )
+    exp = Experiment(cfg, workdir=None)
+    history = []
+    exp.train(num_steps=8, log_fn=lambda s, m: history.append((s, dict(m))))
+    assert int(exp.state.step) == 8
+    assert [s for s, _ in history] == [4, 8]
+    assert all(np.isfinite(v) for _, m in history for v in m.values())
