@@ -141,7 +141,8 @@ def build_train_step(cfg, g, d, axis_names: Tuple[str, ...] = (),
         # "mag" = linear magnitude (does not over-weight silent bins);
         # "wav" = waveform through the iSTFT VJP (supports si_sdr loss).
         if lcfg.recon_domain == "wav":
-            est_r = ops.istft(est_spec, n_fft, hop, window=dcfg.window)
+            est_r = ops.istft(est_spec, n_fft, hop, window=dcfg.window,
+                                  backend=dcfg.backend)
             tgt_r = tgt_wavs_aligned[..., : est_r.shape[-1]]
             if lcfg.recon_loss == "si_sdr":
                 from gan_sass_tf_tpu.losses import si_sdr as _si_sdr
@@ -184,14 +185,16 @@ def build_train_step(cfg, g, d, axis_names: Tuple[str, ...] = (),
         # (for magnitude masks the complex spectrum is never materialized).
         mix_emit = (("spec",) if need_est_spec else ()) + ("mag", "logmag") \
             + (("logmel",) if dcfg.feature == "logmel" else ())
-        mix_out = ops.stft_features(mixture, dcfg, emit=mix_emit)
+        mix_out = ops.stft_features(mixture, dcfg, emit=mix_emit,
+                                    backend=dcfg.backend)
         spec_mix = mix_out.get("spec")
         mag_mix = mix_out["mag"]
         mix_logmag = mix_out["logmag"]
         feats = mix_out["logmel"] if dcfg.feature == "logmel" else mix_logmag
         mag_domain = lcfg.recon_domain == "mag"
         tgt_emit = ("mag", "logmag") if mag_domain else ("logmag",)
-        tgt_out = ops.stft_features(scaled, dcfg, emit=tgt_emit)
+        tgt_out = ops.stft_features(scaled, dcfg, emit=tgt_emit,
+                                    backend=dcfg.backend)
         tgt_logmag = tgt_out["logmag"]
         tgt_recon = tgt_out["mag"] if mag_domain else tgt_logmag
 
@@ -287,13 +290,15 @@ def build_separate_fn(cfg, g) -> Callable[[Any, jax.Array], jax.Array]:
 
     def separate(g_params, mixture):
         feat_key = "logmel" if dcfg.feature == "logmel" else "logmag"
-        out = ops.stft_features(mixture, dcfg, emit=("spec", feat_key))
+        out = ops.stft_features(mixture, dcfg, emit=("spec", feat_key),
+                                backend=dcfg.backend)
         masks = g.apply(_g_vars(g_params), out[feat_key], train=False)
         # Fused mask-apply + iSTFT/OLA: separated complex spectra never
         # materialize in HBM (BASELINE.json:5).
         return ops.masked_istft(
             out["spec"], masks, dcfg.n_fft, dcfg.hop_length,
             window=dcfg.window, mask_type=dcfg.mask_type,
+            backend=dcfg.backend,
         )
 
     return separate

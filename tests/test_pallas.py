@@ -183,3 +183,20 @@ def test_masked_istft_pallas_matches_oracle(rng, mask_type):
     np.testing.assert_allclose(
         ours[..., hop:-hop], ref[..., hop:-hop], atol=3e-4, rtol=1e-3
     )
+
+
+def test_dsp_backend_config_respected(rng):
+    """DSPConfig.backend='xla' must keep the step off the Pallas path even
+    where auto would choose it (the dispatcher honors explicit backends)."""
+    from gan_sass_tf_tpu import config
+    from gan_sass_tf_tpu.ops import dispatch
+
+    cfg = config.get_config("wsj0_logmel")
+    cfg_xla = cfg.replace(dsp=cfg.dsp.__class__(**{**cfg.dsp.__dict__,
+                                                   "backend": "xla"}))
+    x = jnp.asarray(_rand(rng, 1, 8192))
+    a = dispatch.stft_features(x, cfg_xla.dsp, emit=("logmag",),
+                               backend=cfg_xla.dsp.backend)["logmag"]
+    with dispatch.force_backend("pallas"):
+        b = dispatch.stft_features(x, cfg.dsp, emit=("logmag",))["logmag"]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
