@@ -18,8 +18,8 @@ import json
 import os
 import time
 
-WARMUP_STEPS = 3
-BENCH_STEPS = 20
+WARMUP_STEPS = 5
+BENCH_STEPS = 100
 
 
 def main() -> None:
