@@ -66,7 +66,11 @@ class ModelConfig:
     g_layers: int = 2              # BiLSTM stack depth
     g_time_stride: bool = True     # conv U-Net downsamples T as well as F
     d_channels: Tuple[int, ...] = (32, 64, 128)
-    d_norm: str = "batch"          # "batch" | "group" | "none"
+    d_norm: str = "batch"          # "batch" | "group" | "spectral" | "none";
+    #                                "spectral" (+ d_lr=1e-4) is the
+    #                                recommended setting when the adversarial
+    #                                term matters — default BN-D saturates on
+    #                                synthetic tasks (see BASELINE.md)
     leak: float = 0.2              # LeakyReLU slope (reference D stack, BASELINE.json:5)
     dropout: float = 0.0
     param_dtype: str = "float32"

@@ -90,8 +90,9 @@ def build_streaming_scan_fn(cfg, g):
         stride = t_c - overlap
         ramp = (jnp.arange(1, overlap + 1) / (overlap + 1)).astype(jnp.float32)
 
-        def body(carry_tail, chunk):
+        def body(carry_tail, xs):
             # carry_tail: (S, overlap) — previous chunk's fade-out segment.
+            chunk, i = xs
             wavs = separate(g_params, chunk[None])[0]           # (S, T_c)
             # Match source order to the carried tail (L2 over the overlap).
             head = wavs[:, :overlap]
@@ -101,15 +102,21 @@ def build_streaming_scan_fn(cfg, g):
             )
             wavs = wavs[jnp.asarray(perms)[jnp.argmin(errs)]]
             head = wavs[:, :overlap]
-            # Cross-fade the overlap against the carried tail.
-            faded = carry_tail * (1.0 - ramp) + head * ramp
+            # Cross-fade the overlap against the carried tail — except on
+            # chunk 0, whose carry is the zero init (fading against it would
+            # attenuate the stream's first `overlap` samples toward zero;
+            # the batched path's w[0,:overlap]=1 is the matching behavior).
+            faded = jnp.where(
+                i == 0, head, carry_tail * (1.0 - ramp) + head * ramp
+            )
             out_seg = jnp.concatenate(
                 [faded, wavs[:, overlap:stride]], axis=-1
             )                                                    # (S, stride)
             return wavs[:, stride:], out_seg
 
         init_tail = jnp.zeros((s, overlap), jnp.float32)
-        final_tail, segs = jax.lax.scan(body, init_tail, chunks)
+        idx = jnp.arange(chunks.shape[0])
+        final_tail, segs = jax.lax.scan(body, init_tail, (chunks, idx))
         return segs, final_tail          # (N, S, stride), (S, overlap)
 
     return scan_separate

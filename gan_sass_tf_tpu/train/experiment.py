@@ -87,29 +87,14 @@ class Experiment:
         )
         # Multi-step dispatch (bank mode): scan K optimizer steps inside one
         # jitted call — per-dispatch host/relay overhead amortizes K-fold.
+        # Step fns are memoized per scan length so train(N) with
+        # N % steps_per_dispatch != 0 can run an exact shorter final
+        # dispatch instead of silently overshooting N.
         self._spd = cfg.train.steps_per_dispatch if self._use_bank else 1
-        if self._spd > 1:
-            import jax.numpy as jnp
-
-            base_step = step_fn
-
-            def step_fn(state, bank, rng):  # noqa: F811
-                def body(s, _):
-                    return base_step(s, bank, rng)
-
-                state, ms = jax.lax.scan(
-                    body, state, None, length=cfg.train.steps_per_dispatch
-                )
-                return state, {k: v[-1] for k, v in ms.items()}
-        data_spec = P() if self._use_bank else bspec
-        self._train_step = jax.jit(
-            jax.shard_map(
-                step_fn, mesh=self.mesh,
-                in_specs=(P(), data_spec, P()), out_specs=(P(), P()),
-                check_vma=False,
-            ),
-            donate_argnums=(0,),
-        )
+        self._base_step = step_fn
+        self._data_spec = P() if self._use_bank else bspec
+        self._step_fns: Dict[int, object] = {}
+        self._train_step = self._train_step_for(self._spd)
         eval_fn = build_eval_step(cfg, self.generator, axis_names=axes)
         self._eval_step = jax.jit(
             jax.shard_map(
@@ -158,6 +143,37 @@ class Experiment:
         self._ckpt_mngr = None
         if workdir:
             self._init_checkpointing(resume)
+
+    def _train_step_for(self, length: int):
+        """Jitted sharded step running `length` optimizer steps per dispatch
+        (lax.scan over the base step; length is trace-static, so each
+        distinct remainder compiles once and is memoized)."""
+        if length in self._step_fns:
+            return self._step_fns[length]
+        from jax.sharding import PartitionSpec as P
+
+        base_step = self._base_step
+        if length > 1:
+
+            def fn(state, bank, rng):
+                def body(s, _):
+                    return base_step(s, bank, rng)
+
+                state, ms = jax.lax.scan(body, state, None, length=length)
+                return state, {k: v[-1] for k, v in ms.items()}
+        else:
+            fn = base_step
+        jitted = jax.jit(
+            jax.shard_map(
+                fn, mesh=self.mesh,
+                in_specs=(P(), self._data_spec, P()),
+                out_specs=(P(), P()),
+                check_vma=False,
+            ),
+            donate_argnums=(0,),
+        )
+        self._step_fns[length] = jitted
+        return jitted
 
     # ------------------------------------------------------------------
     # Checkpointing (SURVEY.md §5.4): async orbax, auto-resume, config
@@ -269,19 +285,23 @@ class Experiment:
         # TPU relay) and serialize the async dispatch pipeline.
         step_base = int(self.state.step)
         spd = self._spd
-        n_dispatch = -(-total // spd)
+        # Exact step count: full spd-length dispatches plus one shorter
+        # remainder dispatch (its scan length compiles once, memoized) —
+        # train(N) never overshoots N.
+        n_full, rem = divmod(total, spd)
+        lengths = [spd] * n_full + ([rem] if rem else [])
 
-        def crossed(completed: int, every: int) -> bool:
+        def crossed(completed: int, every: int, length: int) -> bool:
             """True when a cadence boundary falls inside this dispatch."""
-            return (completed // every) > ((completed - spd) // every)
+            return (completed // every) > ((completed - length) // every)
 
-        for i in range(n_dispatch):
+        step_now = step_base
+        for i, disp_len in enumerate(lengths):
             if i == 1:
                 # Restart the throughput clock after dispatch 0 so the
                 # reported mixture-sec/sec excludes XLA compilation.
                 t_start = time.perf_counter()
                 steps_timed = 0
-            step_now = step_base + i * spd
             if profile_steps and self.workdir:
                 if step_now >= profile_steps[0] and not profiling:
                     jax.profiler.start_trace(
@@ -295,12 +315,13 @@ class Experiment:
                 self._bank if self._use_bank
                 else jax.device_put(q.get(), self._batch_sharding)
             )
-            self.state, metrics = self._train_step(
+            self.state, metrics = self._train_step_for(disp_len)(
                 self.state, data, self._train_rng
             )
-            steps_timed += spd
-            completed = step_now + spd
-            if crossed(completed, cfg.train.log_every) or i == n_dispatch - 1:
+            steps_timed += disp_len
+            completed = step_now + disp_len
+            if crossed(completed, cfg.train.log_every, disp_len) \
+                    or i == len(lengths) - 1:
                 last_metrics = {k: float(v) for k, v in metrics.items()}
                 elapsed = time.perf_counter() - t_start
                 mix_sec = steps_timed * samples_per_step / cfg.dsp.sample_rate
@@ -308,11 +329,13 @@ class Experiment:
                 self.metrics.write(completed, last_metrics)
                 if log_fn:
                     log_fn(completed, last_metrics)
-            if self.workdir and crossed(completed, cfg.train.ckpt_every):
+            if self.workdir and crossed(completed, cfg.train.ckpt_every,
+                                        disp_len):
                 self.save()
-            if crossed(completed, cfg.train.eval_every):
+            if crossed(completed, cfg.train.eval_every, disp_len):
                 ev = self.evaluate()
                 self.metrics.write(completed, {"eval_" + k: v for k, v in ev.items()})
+            step_now = completed
         stop.set()
         if thread is not None:
             thread.join(timeout=5)

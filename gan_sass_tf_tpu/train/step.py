@@ -214,6 +214,11 @@ def build_train_step(cfg, g, d, axis_names: Tuple[str, ...] = (),
 
             def _pool(x):
                 b_, s_, t_, k_ = x.shape
+                if t_ < 4 or k_ < 4:
+                    # Tiny debug grids: truncating to (t//4)*4 would yield an
+                    # empty tensor whose mean() is NaN, silently collapsing
+                    # the PIT argmin to permutation 0 — match unpooled.
+                    return x
                 t4, k4 = (t_ // 4) * 4, (k_ // 4) * 4
                 x = x[:, :, :t4, :k4].reshape(b_, s_, t4 // 4, 4, k4 // 4, 4)
                 return x.mean(axis=(3, 5))

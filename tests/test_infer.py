@@ -199,3 +199,25 @@ def test_cli_train_eval_separate_end_to_end(tmp_path, capsys):
     assert cli.main(["separate", *common, "--input", mix_path,
                      "--output-dir", out_dir]) == 0
     assert len(os.listdir(out_dir)) == 2
+
+
+def test_streaming_scan_first_chunk_full_weight(g_params):
+    """ADVICE r1: chunk 0's head must NOT be cross-faded against the zero
+    init carry — its first `overlap` samples must match the batched path
+    (which gives chunk 0 full weight) on the permutation-invariant source
+    sum."""
+    from gan_sass_tf_tpu.infer import separate_streaming_scan
+
+    cfg, g, params = g_params
+    sr = cfg.dsp.sample_rate
+    t = int(2.5 * sr)
+    n = np.arange(t) / sr
+    wav = (np.sin(2 * np.pi * 300 * n) + np.sin(2 * np.pi * 1500 * n)).astype(
+        np.float32
+    )
+    out_scan = separate_streaming_scan(params, cfg, wav)
+    out_batch = separate_streaming(params, cfg, wav)
+    overlap = cfg.stream.overlap_frames * cfg.dsp.hop_length
+    head_scan = out_scan.sum(axis=0)[:overlap]
+    head_batch = out_batch.sum(axis=0)[:overlap]
+    np.testing.assert_allclose(head_scan, head_batch, rtol=0, atol=1e-4)

@@ -225,3 +225,38 @@ def test_multi_step_dispatch():
     assert int(exp.state.step) == 8
     assert [s for s, _ in history] == [4, 8]
     assert all(np.isfinite(v) for _, m in history for v in m.values())
+
+
+def test_multi_step_dispatch_remainder():
+    """ADVICE r1: train(N) with N % steps_per_dispatch != 0 must run EXACTLY
+    N optimizer steps (shorter final dispatch), not ceil(N/spd)*spd."""
+    base = _tiny_cfg()
+    cfg = base.replace(
+        train=base.train.__class__(**{**base.train.__dict__,
+                                      "steps_per_dispatch": 4,
+                                      "log_every": 100}),
+        data=base.data.__class__(**{**base.data.__dict__,
+                                    "device_bank": True,
+                                    "bank_utterances": 8}),
+    )
+    exp = Experiment(cfg, workdir=None)
+    history = []
+    exp.train(num_steps=6, log_fn=lambda s, m: history.append(s))
+    assert int(exp.state.step) == 6
+    assert history[-1] == 6
+
+
+def test_tiny_frame_grid_pit_no_nan():
+    """ADVICE r1: PIT matching must not NaN when the (T,K) grid is smaller
+    than the 4x4 pooling window (empty-tensor mean)."""
+    base = _tiny_cfg(segment_seconds=0.02)  # snaps to n_fft -> 1 frame
+    cfg = base.replace(
+        model=base.model.__class__(**{**base.model.__dict__,
+                                      "generator": "toy",
+                                      "g_time_stride": False,
+                                      "d_channels": (8,)}),
+    )
+    assert cfg.num_frames < 4
+    exp = Experiment(cfg, workdir=None)
+    m = exp.train(num_steps=1)
+    assert all(np.isfinite(v) for v in m.values())
