@@ -37,7 +37,10 @@ class DSPConfig:
     sample_rate: int = 8000
     n_fft: int = 256
     hop_length: int = 64
-    win_length: int = 256          # must equal n_fft for the fused kernels
+    win_length: int = 256          # analysis window support; win_length <
+    #                                n_fft follows tf.signal (window zero-
+    #                                padded to the FFT size; n_frames =
+    #                                1 + (T - win_length)//hop)
     window: str = "hann"           # periodic Hann (matches tf.signal default)
     feature: str = "logmag"        # "logmag" | "logmel"
     n_mels: int = 80
@@ -45,6 +48,14 @@ class DSPConfig:
     mask_activation: str = "sigmoid"  # "sigmoid" | "softmax" (over sources)
     eps: float = 1e-8
     backend: str = "auto"          # "auto" | "pallas" | "xla" DSP kernel backend
+
+    def __post_init__(self):
+        if self.win_length > self.n_fft:
+            raise ValueError(
+                f"win_length {self.win_length} > n_fft {self.n_fft}: "
+                "tf.signal zero-pads the frame to the FFT size, so "
+                "win_length must be <= n_fft"
+            )
 
     @property
     def n_bins(self) -> int:
@@ -175,7 +186,9 @@ class Config:
 
     @property
     def num_frames(self) -> int:
-        return 1 + (self.segment_samples - self.dsp.n_fft) // self.dsp.hop_length
+        # tf.signal frame count; the DSP layer end-pads the signal by
+        # n_fft - win_length so this holds for win_length < n_fft too.
+        return 1 + (self.segment_samples - self.dsp.win_length) // self.dsp.hop_length
 
     # -- serialization (checkpoint fingerprinting, SURVEY.md §5.4) ---------
 

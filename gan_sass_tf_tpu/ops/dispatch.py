@@ -65,11 +65,50 @@ def _resolve(backend: str, n_fft: int, hop: int) -> str:
     return "xla"
 
 
-def stft(x, n_fft: int, hop: int, window: str = "hann", backend: str = "auto"):
+def _win_encode(window: str, n_fft: int, win_length: Optional[int]):
+    """tf.signal frame_length < fft_length support: returns the padded-window
+    name (see dsp.windows.get_window) and the input end-padding that keeps
+    the frame count tf-exact (1 + (T - win_length)//hop).  Both the XLA and
+    Pallas paths consume the encoded name — the Pallas DFT matrices fold the
+    zero-padded window in, so no kernel changes are needed."""
+    if win_length is None or win_length == n_fft:
+        return window, 0
+    if win_length > n_fft:
+        raise ValueError(
+            f"win_length {win_length} > n_fft {n_fft}: tf.signal zero-pads "
+            "the frame to the FFT size, so win_length must be <= n_fft"
+        )
+    return f"{window}@{win_length}", n_fft - win_length
+
+
+def _pad_tail(x, pad: int):
+    import jax.numpy as jnp
+
+    if not pad:
+        return x
+    return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+
+
+def _pallas_aligned(x, hop: int, n_fft: int):
+    """Pallas inputs must stay hop-aligned (Mosaic 128-lane tiling; the
+    win_length end-padding breaks alignment).  Pads x up to the next hop
+    multiple and returns the tf-exact frame count to truncate back to —
+    the extra all-padding frames are sliced off outside the kernel."""
+    t = x.shape[-1]
+    f_keep = 1 + (t - n_fft) // hop
+    extra = (-t) % hop
+    return _pad_tail(x, extra), f_keep
+
+
+def stft(x, n_fft: int, hop: int, window: str = "hann", backend: str = "auto",
+         win_length: Optional[int] = None):
+    window, pad = _win_encode(window, n_fft, win_length)
+    x = _pad_tail(x, pad)
     if _resolve(backend, n_fft, hop) == "pallas":
         from gan_sass_tf_tpu.ops.pallas_stft import stft_pallas
 
-        return stft_pallas(x, n_fft, hop, window)
+        x, f_keep = _pallas_aligned(x, hop, n_fft)
+        return stft_pallas(x, n_fft, hop, window)[..., :f_keep, :]
     return _xla_stft(x, n_fft, hop, window)
 
 
@@ -81,6 +120,9 @@ def stft_features(x, dsp_cfg, emit=("logmag",), backend: str = "auto"):
     import jax.numpy as jnp
 
     n_fft, hop = dsp_cfg.n_fft, dsp_cfg.hop_length
+    window, pad = _win_encode(dsp_cfg.window, n_fft,
+                              getattr(dsp_cfg, "win_length", None))
+    x = _pad_tail(x, pad)
     mel = None
     if "logmel" in emit:
         from gan_sass_tf_tpu.dsp.features import mel_filterbank
@@ -91,11 +133,15 @@ def stft_features(x, dsp_cfg, emit=("logmag",), backend: str = "auto"):
     if _resolve(backend, n_fft, hop) == "pallas":
         from gan_sass_tf_tpu.ops.pallas_stft import stft_features_pallas
 
-        return stft_features_pallas(
-            x, n_fft, hop, dsp_cfg.window, emit=tuple(emit),
+        x, f_keep = _pallas_aligned(x, hop, n_fft)
+        out = stft_features_pallas(
+            x, n_fft, hop, window, emit=tuple(emit),
             mel_matrix=mel, eps=dsp_cfg.eps,
         )
-    spec = _xla_stft(x, n_fft, hop, dsp_cfg.window)
+        if f_keep != 1 + (x.shape[-1] - n_fft) // hop:
+            out = {k: v[..., :f_keep, :] for k, v in out.items()}
+        return out
+    spec = _xla_stft(x, n_fft, hop, window)
     out = {}
     if "spec" in emit:
         out["spec"] = spec
@@ -111,7 +157,11 @@ def stft_features(x, dsp_cfg, emit=("logmag",), backend: str = "auto"):
 
 
 def istft(spec, n_fft: int, hop: int, window: str = "hann",
-          length: Optional[int] = None, backend: str = "auto"):
+          length: Optional[int] = None, backend: str = "auto",
+          win_length: Optional[int] = None):
+    window, pad = _win_encode(window, n_fft, win_length)
+    if pad and length is None:
+        length = (spec.shape[-2] - 1) * hop + win_length
     if _resolve(backend, n_fft, hop) == "pallas":
         from gan_sass_tf_tpu.ops.pallas_istft import istft_pallas
 
@@ -121,10 +171,13 @@ def istft(spec, n_fft: int, hop: int, window: str = "hann",
 
 def masked_istft(spec, masks, n_fft: int, hop: int, window: str = "hann",
                  mask_type: str = "magnitude", length: Optional[int] = None,
-                 backend: str = "auto"):
+                 backend: str = "auto", win_length: Optional[int] = None):
     """Fused mask-apply + iSTFT/overlap-add (BASELINE.json:5): mixture STFT
     (..., F, K) + per-source masks -> (..., S, T) wavs.  Inference path (no
     VJP); the XLA fallback composes apply_mask + istft."""
+    window, pad = _win_encode(window, n_fft, win_length)
+    if pad and length is None:
+        length = (spec.shape[-2] - 1) * hop + win_length
     if _resolve(backend, n_fft, hop) == "pallas":
         from gan_sass_tf_tpu.ops.pallas_istft import masked_istft_pallas
 

@@ -159,3 +159,79 @@ def test_mask_separation_recovers_sources(rng):
     err1 = np.abs(wavs[0, 0, margin:-margin] - s1[margin : t_grid - margin]).max()
     err2 = np.abs(wavs[0, 1, margin:-margin] - s2[margin : t_grid - margin]).max()
     assert err1 < 5e-2 and err2 < 5e-2
+
+
+# ---------------------------------------------------------------------------
+# win_length < n_fft (tf.signal frame_length < fft_length; VERDICT r1 item 3)
+# ---------------------------------------------------------------------------
+
+WIN_CONFIGS = [
+    # (n_fft, win_length, hop, T)
+    (256, 200, 64, 8000),
+    (512, 400, 128, 16384),
+]
+
+
+@pytest.mark.parametrize("n_fft,win,hop,t", WIN_CONFIGS)
+def test_stft_win_length_matches_tf_signal(rng, n_fft, win, hop, t):
+    x = _rand_wav(rng, 2, t)
+    ours = np.asarray(
+        dsp.stft(jnp.asarray(x), n_fft, hop, win_length=win)
+    )
+    ref = tf.signal.stft(x, win, hop, fft_length=n_fft).numpy()
+    assert ours.shape == ref.shape      # tf frame count: 1 + (T - win)//hop
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(ours, ref, atol=2e-4 * scale, rtol=1e-4)
+
+
+@pytest.mark.parametrize("n_fft,win,hop,t", WIN_CONFIGS)
+def test_istft_win_length_matches_tf_signal(rng, n_fft, win, hop, t):
+    x = _rand_wav(rng, 2, t)
+    spec = tf.signal.stft(x, win, hop, fft_length=n_fft).numpy()
+    ours = np.asarray(
+        dsp.istft(jnp.asarray(spec), n_fft, hop, norm="tf", win_length=win)
+    )
+    ref = tf.signal.inverse_stft(
+        spec, win, hop, fft_length=n_fft,
+        window_fn=tf.signal.inverse_stft_window_fn(hop),
+    ).numpy()
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_roundtrip_win_length_interior_exact(rng):
+    n_fft, win, hop = 512, 400, 128
+    x = _rand_wav(rng, 2, 8192)
+    spec = dsp.stft(jnp.asarray(x), n_fft, hop, win_length=win)
+    y = np.asarray(dsp.istft(spec, n_fft, hop, win_length=win))
+    t_out = y.shape[-1]
+    assert t_out == (spec.shape[-2] - 1) * hop + win
+    np.testing.assert_allclose(
+        y[:, n_fft:t_out - n_fft], x[:, n_fft:t_out - n_fft], atol=1e-4
+    )
+
+
+def test_dispatch_win_length_matches_tf(rng):
+    """The ops dispatch layer (stft_features / istft) honors win_length."""
+    from gan_sass_tf_tpu.config import DSPConfig
+    from gan_sass_tf_tpu.ops import dispatch as ops
+
+    n_fft, win, hop, t = 512, 400, 128, 8192
+    dcfg = DSPConfig(sample_rate=8000, n_fft=n_fft, hop_length=hop,
+                     win_length=win)
+    x = _rand_wav(rng, 2, t)
+    out = ops.stft_features(jnp.asarray(x), dcfg, emit=("spec", "logmag"))
+    ref = tf.signal.stft(x, win, hop, fft_length=n_fft).numpy()
+    assert out["spec"].shape == ref.shape
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(np.asarray(out["spec"]), ref,
+                               atol=2e-4 * scale, rtol=1e-4)
+    y = np.asarray(ops.istft(out["spec"], n_fft, hop, win_length=win))
+    assert y.shape[-1] == (ref.shape[-2] - 1) * hop + win
+
+
+def test_win_length_larger_than_nfft_raises():
+    from gan_sass_tf_tpu.config import DSPConfig
+
+    with pytest.raises(ValueError):
+        DSPConfig(n_fft=256, win_length=512)

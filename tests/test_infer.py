@@ -221,3 +221,33 @@ def test_streaming_scan_first_chunk_full_weight(g_params):
     head_scan = out_scan.sum(axis=0)[:overlap]
     head_batch = out_batch.sum(axis=0)[:overlap]
     np.testing.assert_allclose(head_scan, head_batch, rtol=0, atol=1e-4)
+
+
+def test_inference_fns_cached_no_retrace(g_params):
+    """VERDICT r1 item 5: public inference wrappers must reuse one compiled
+    fn per config — the second identical call must not retrace."""
+    import jax
+
+    from gan_sass_tf_tpu.infer.separate import separate_fn_for
+    from gan_sass_tf_tpu.infer.streaming import (
+        separate_streaming_scan,
+        streaming_scan_fn_for,
+    )
+
+    cfg, g, params = g_params
+    fn = separate_fn_for(cfg)
+    assert separate_fn_for(cfg) is fn                 # cfg-keyed memoization
+    wav = np.zeros(4000, np.float32)
+    separate(params, cfg, wav)
+    n1 = fn._cache_size()
+    separate(params, cfg, wav)
+    assert fn._cache_size() == n1                     # no retrace on call 2
+
+    sfn = streaming_scan_fn_for(cfg)
+    assert streaming_scan_fn_for(cfg) is sfn
+    t = int(2.0 * cfg.dsp.sample_rate)
+    mix = np.zeros(t, np.float32)
+    separate_streaming_scan(params, cfg, mix)
+    n2 = sfn._cache_size()
+    separate_streaming_scan(params, cfg, mix)
+    assert sfn._cache_size() == n2

@@ -124,3 +124,43 @@ def test_patch_discriminator():
     logits = d.apply(variables, x, train=True, mutable=["batch_stats"])[0]
     assert logits.ndim == 3 and logits.shape[0] == 2  # per-patch logits
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_dropout_is_wired(rng):
+    """VERDICT r1 item 4: ModelConfig.dropout must actually drop units —
+    stochastic under train=True + rng, identity under train=False."""
+    import jax
+    import jax.numpy as jnp
+    from gan_sass_tf_tpu import config, models
+
+    base = config.get_config("2src_toy_cpu")
+    cfg = base.replace(
+        model=base.model.__class__(**{**base.model.__dict__,
+                                      "dropout": 0.5,
+                                      "g_channels": (8, 16)}),
+    )
+    g = models.build_generator(cfg)
+    feats = jnp.asarray(rng.standard_normal((2, 16, cfg.dsp.feature_dim)),
+                        jnp.float32)
+    params = g.init(jax.random.PRNGKey(0), feats, train=False)
+    out_det = g.apply(params, feats, train=False)
+    out_a = g.apply(params, feats, train=True,
+                    rngs={"dropout": jax.random.PRNGKey(1)})
+    out_b = g.apply(params, feats, train=True,
+                    rngs={"dropout": jax.random.PRNGKey(2)})
+    assert not np.allclose(out_a, out_b)          # stochastic across keys
+    assert not np.allclose(out_a, out_det)        # differs from eval mode
+    # eval mode is deterministic and needs no rng
+    np.testing.assert_array_equal(
+        np.asarray(out_det), np.asarray(g.apply(params, feats, train=False))
+    )
+
+    d = models.build_discriminator(cfg)
+    x = jnp.asarray(rng.standard_normal((4, 16, cfg.dsp.n_bins, 2)),
+                    jnp.float32)
+    dvars = d.init(jax.random.PRNGKey(0), x, train=False)
+    la = d.apply(dvars, x, train=True, mutable=["batch_stats"],
+                 rngs={"dropout": jax.random.PRNGKey(1)})[0]
+    lb = d.apply(dvars, x, train=True, mutable=["batch_stats"],
+                 rngs={"dropout": jax.random.PRNGKey(2)})[0]
+    assert not np.allclose(np.asarray(la), np.asarray(lb))

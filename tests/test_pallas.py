@@ -200,3 +200,43 @@ def test_dsp_backend_config_respected(rng):
     with dispatch.force_backend("pallas"):
         b = dispatch.stft_features(x, cfg.dsp, emit=("logmag",))["logmag"]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+
+def test_stft_pallas_encoded_window_support(rng):
+    """win_length < n_fft flows into the Pallas kernels as an encoded
+    window name ("hann@<support>") folded into the DFT matrices — parity
+    with the XLA oracle on pre-padded input (the dispatch layer pads)."""
+    n_fft, win, hop = 512, 400, 128
+    x = _rand(rng, 2, 16384 + (n_fft - win))    # dispatch-style end padding
+    ours = np.asarray(stft_pallas(jnp.asarray(x), n_fft, hop, f"hann@{win}"))
+    ref = np.asarray(dsp.stft(jnp.asarray(x), n_fft, hop, f"hann@{win}"))
+    assert ours.shape == ref.shape
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(ours, ref, atol=3e-4 * scale, rtol=1e-3)
+
+
+def test_istft_pallas_encoded_window_support(rng):
+    n_fft, win, hop = 512, 400, 128
+    x = _rand(rng, 2, 16384)
+    spec = dsp.stft(jnp.asarray(x), n_fft, hop, win_length=win)
+    ours = np.asarray(istft_pallas(spec, n_fft, hop, f"hann@{win}"))
+    ref = np.asarray(dsp.istft(spec, n_fft, hop, f"hann@{win}",
+                               norm="global"))
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(
+        ours[:, hop:-hop], ref[:, hop:-hop], atol=2e-4, rtol=1e-3
+    )
+
+
+def test_dispatch_never_picks_pallas_on_cpu():
+    """VERDICT r1 item 2 guard: on a CPU backend (this suite's virtual
+    mesh), backend="auto" must resolve to XLA even for Pallas-eligible
+    geometry — the CPU-mesh DP tests must never silently take the Pallas
+    branch (interpret-mode Pallas deadlocks under multi-device shard_map)."""
+    import jax
+
+    from gan_sass_tf_tpu.ops import dispatch
+
+    assert jax.default_backend() == "cpu"
+    assert dispatch._resolve("auto", 512, 128) == "xla"   # eligible on TPU
+    assert dispatch._resolve("auto", 256, 128) == "xla"

@@ -260,3 +260,33 @@ def test_tiny_frame_grid_pit_no_nan():
     exp = Experiment(cfg, workdir=None)
     m = exp.train(num_steps=1)
     assert all(np.isfinite(v) for v in m.values())
+
+
+def test_dropout_training_step():
+    """Full train step with dropout enabled: finite losses, params move."""
+    base = _tiny_cfg()
+    cfg = base.replace(
+        model=base.model.__class__(**{**base.model.__dict__,
+                                      "dropout": 0.3}),
+    )
+    exp = Experiment(cfg, workdir=None)
+    m = exp.train(num_steps=2)
+    assert all(np.isfinite(v) for v in m.values())
+
+
+def test_win_length_training_step():
+    """Full train step with win_length < n_fft (tf frame_length semantics):
+    frames/masks shapes consistent, losses finite, separation runs."""
+    base = _tiny_cfg()
+    cfg = base.replace(
+        dsp=base.dsp.__class__(**{**base.dsp.__dict__, "win_length": 200}),
+        loss=base.loss.__class__(**{**base.loss.__dict__,
+                                    "recon_domain": "wav",
+                                    "recon_loss": "si_sdr",
+                                    "recon_weight": 1.0}),
+    )
+    exp = Experiment(cfg, workdir=None)
+    m = exp.train(num_steps=2)
+    assert all(np.isfinite(v) for v in m.values())
+    ev = exp.evaluate(num_batches=1)
+    assert np.isfinite(ev["si_sdr"])
