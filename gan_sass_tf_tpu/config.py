@@ -77,6 +77,11 @@ class ModelConfig:
     g_layers: int = 2              # BiLSTM stack depth
     g_time_stride: bool = True     # conv U-Net downsamples T as well as F
     d_channels: Tuple[int, ...] = (32, 64, 128)
+    d_stem_stride: Tuple[int, int] = (2, 4)  # D first-conv (T, F) stride,
+    #                                kernel = 2x stride.  (2,4)/(4,8) is the
+    #                                TPU-fast stem (the 2-channel input conv
+    #                                dominates the step otherwise); (2,2)
+    #                                restores the classic (4,4) stem
     d_norm: str = "batch"          # "batch" | "group" | "spectral" | "none";
     #                                "spectral" (+ d_lr=1e-4) is the
     #                                recommended setting when the adversarial
