@@ -42,27 +42,63 @@ def _chunk_geometry(cfg, total: int):
     return chunk, stride, overlap, n_chunks, padded
 
 
-def _align_chunk_permutations(
-    chunks: np.ndarray, stride: int, overlap: int
+def _chain_permutations(
+    heads: np.ndarray, tails: np.ndarray
 ) -> np.ndarray:
-    """chunks (N, S, T_c): reorder each chunk's sources to match the previous
-    chunk on the shared overlap region (greedy chain, exact for S ≤ 3 via
-    full permutation search)."""
-    n, s, t_c = chunks.shape
-    if s == 1 or n == 1 or overlap == 0:
-        return chunks
+    """heads/tails (N, S, overlap): per-chunk source permutation (N, S) that
+    aligns each chunk to the previous chunk's (aligned) tail on the shared
+    overlap region — greedy chain, exact for S ≤ 3 via full permutation
+    search.  Operates on the small overlap strips only, so the full chunk
+    tensor can stay on device (the per-chunk host fetches were the batch
+    streamer's bottleneck through this environment's relay)."""
+    n, s, _ = heads.shape
+    out = np.tile(np.arange(s), (n, 1))
+    if s == 1 or n == 1 or heads.shape[-1] == 0:
+        return out
     perms = list(itertools.permutations(range(s)))
-    out = chunks.copy()
     for i in range(1, n):
-        prev_tail = out[i - 1, :, stride:]          # (S, overlap)
-        head = out[i, :, :overlap]                   # (S, overlap)
+        prev_tail = tails[i - 1][out[i - 1]]         # aligned (S, overlap)
+        head = heads[i]                              # (S, overlap)
         best, best_err = None, None
         for p in perms:
             err = float(np.sum((head[list(p)] - prev_tail) ** 2))
             if best_err is None or err < best_err:
                 best, best_err = p, err
-        out[i] = out[i, list(best)]
+        out[i] = best
     return out
+
+
+def _align_chunk_permutations(
+    chunks: np.ndarray, stride: int, overlap: int
+) -> np.ndarray:
+    """chunks (N, S, T_c): reorder each chunk's sources to match the previous
+    chunk on the shared overlap region (host-array convenience wrapper
+    around _chain_permutations)."""
+    perm = _chain_permutations(chunks[:, :, :overlap],
+                               chunks[:, :, stride : stride + overlap])
+    return np.take_along_axis(chunks, perm[:, :, None], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("stride", "overlap"))
+def _finalize_stream(est, perm, stride: int, overlap: int):
+    """(N, S, T_c) chunk outputs + (N, S) source permutations -> (S, T)
+    full waveforms: permutation gather, linear cross-fade weights (built
+    in-graph — an (N, T_c) host-built weight matrix would be another relay
+    upload), and scatter-free overlap-add, all in ONE device dispatch."""
+    n, s, t_c = est.shape
+    est = jnp.take_along_axis(est, perm[:, :, None], axis=1)
+    ramp = (jnp.arange(1, overlap + 1) / (overlap + 1)).astype(jnp.float32)
+    w = jnp.ones((n, t_c), jnp.float32)
+    if overlap:
+        w = w.at[1:, :overlap].set(ramp)
+        w = w.at[:-1, t_c - overlap :].set(ramp[::-1])
+    frames = jnp.moveaxis(est * w[:, None, :], 1, 0)      # (S, N, T_c)
+    if t_c % stride == 0:
+        return overlap_add(frames, stride)
+    full = jnp.zeros((s, (n - 1) * stride + t_c), est.dtype)
+    for i in range(n):
+        full = full.at[:, i * stride : i * stride + t_c].add(frames[:, i])
+    return full
 
 
 def build_streaming_scan_fn(cfg, g):
@@ -196,48 +232,33 @@ def separate_streaming(
     idx = np.arange(n_chunks)[:, None] * stride + np.arange(chunk)[None, :]
     chunks = wav[idx]
 
-    # Batch over the mesh in groups of batch_chunks (pad the tail group).
-    # Dispatch EVERY group before fetching any: jax device arrays are
-    # futures, so the device computes group k+1 while group k's result
-    # downloads — a blocking np.asarray per group serialized the whole
-    # pipeline through this environment's relay (VERDICT r1 item 4; 9x
-    # slower than scan mode).  Host-side alignment happens after the fetch.
+    # Host<->device traffic is the bottleneck through this environment's
+    # relay (~hundreds of ms per transfer; VERDICT r1 item 4) — the whole
+    # pipeline makes exactly THREE crossings:
+    #   1. ONE upload of all chunks; groups are sliced on device,
+    #   2. one small fetch of the overlap strips for permutation chaining,
+    #   3. one fetch of the final overlap-added (S, T) waveforms
+    # (alignment gather, cross-fade, and OLA all run on device).
     bc = cfg.stream.batch_chunks
     n_groups = -(-n_chunks // bc)
-    shard = batch_sharding(mesh)
-    futures = []
-    for gi in range(n_groups):
-        grp = chunks[gi * bc : (gi + 1) * bc]
-        pad_rows = bc - grp.shape[0]
-        if pad_rows:
-            grp = np.pad(grp, ((0, pad_rows), (0, 0)))
-        grp_dev = jax.device_put(jnp.asarray(grp), shard)
-        futures.append((separate_fn(g_params, grp_dev), pad_rows))
-    outs = [
-        np.asarray(out)[: bc - pad_rows] if pad_rows else np.asarray(out)
-        for out, pad_rows in futures
-    ]
-    est = np.concatenate(outs, axis=0)                    # (N, S, T_c)
-    t_c = est.shape[-1]
+    chunks_pad = np.pad(chunks, ((0, n_groups * bc - n_chunks), (0, 0)))
+    # (n_groups, bc, T_c) with the bc axis sharded over the mesh, so each
+    # on-device group slice chunks_dev[gi] is already laid out the way the
+    # shard_map'd separate graph wants it (no per-group reshard).
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
-    est = _align_chunk_permutations(est, stride, overlap)
+    shard3 = NamedSharding(mesh, P(None, mesh.axis_names))
+    # device_put straight from the numpy array: ONE host->device transfer
+    # (jnp.asarray first would upload unsharded and then reshard).
+    chunks_dev = jax.device_put(
+        chunks_pad.reshape(n_groups, bc, -1).astype(np.float32), shard3
+    )
+    outs = [separate_fn(g_params, chunks_dev[gi]) for gi in range(n_groups)]
+    est = jnp.concatenate(outs, axis=0)[:n_chunks]        # (N, S, T_c) dev
 
-    # Linear cross-fade weights: fade-in over the overlap (except chunk 0),
-    # fade-out over the tail overlap (except the last chunk); weights sum
-    # to 1 everywhere.
-    ramp = (np.arange(1, overlap + 1) / (overlap + 1)).astype(np.float32)
-    w = np.ones((n_chunks, t_c), np.float32)
-    w[1:, :overlap] = ramp
-    w[:-1, t_c - overlap :] = ramp[::-1]
-    # t_c may exceed `chunk` slightly?  No: separate_fn output length is the
-    # chunk's frame grid == chunk.  Weighted chunks → scatter-free OLA.
-    weighted = est * w[:, None, :]                        # (N, S, T_c)
-    frames = jnp.asarray(np.moveaxis(weighted, 1, 0))     # (S, N, T_c)
-    if t_c % stride == 0:
-        full = overlap_add(frames, stride)
-    else:
-        # general OLA fallback (stride not dividing chunk length)
-        full = jnp.zeros((frames.shape[0], (n_chunks - 1) * stride + t_c))
-        for i in range(n_chunks):
-            full = full.at[:, i * stride : i * stride + t_c].add(frames[:, i])
+    strips = np.asarray(jnp.concatenate(
+        [est[:, :, :overlap], est[:, :, stride : stride + overlap]], axis=-1
+    ))                                                    # (N, S, 2*overlap)
+    perm = _chain_permutations(strips[..., :overlap], strips[..., overlap:])
+    full = _finalize_stream(est, jnp.asarray(perm), stride, overlap)
     return np.asarray(full)[..., :t_in]
