@@ -50,10 +50,16 @@ def _resolve(backend: str, n_fft: int, hop: int) -> str:
     if backend in ("xla", "pallas"):
         return backend
     # auto: Pallas wants TPU, divisible hop, DFT matrices that fit VMEM, and
-    # 128-aligned hop (TPU memrefs are 128-lane tiled; hop-chunk slices at
-    # sub-128 offsets are not expressible — e.g. the hop-64 toy CPU config
-    # stays on XLA).  Measured ~1.9x faster than the XLA stft+istft chain on
-    # v5e at the wsj0 geometry, with ≤1e-6-level fidelity.
+    # 128-aligned hop (TPU memrefs are 128-lane tiled).  Measured ~1.9x
+    # faster than the XLA stft+istft chain on v5e at the wsj0 geometry,
+    # with ≤1e-6-level fidelity.
+    #
+    # Sub-128 hops that divide 128 (e.g. the hop-64 toy config) are COVERED
+    # by the phased decomposition (kernels at hop*m = 128, frames
+    # interleaved/recombined outside) behind backend="pallas" /
+    # force_backend — but auto keeps XLA there: measured on v5e at the toy
+    # geometry (n_fft 256, hop 64) the phased path is ~1.5x slower than
+    # XLA's small-FFT chain (phase overhead dominates tiny kernels).
     if (
         _on_tpu()
         and n_fft % hop == 0
@@ -63,6 +69,18 @@ def _resolve(backend: str, n_fft: int, hop: int) -> str:
     ):
         return "pallas"
     return "xla"
+
+
+def _phases(hop: int) -> int:
+    """Number of frame phases for the sub-128 hop decomposition (1 = the
+    direct kernels)."""
+    if hop % 128 == 0:
+        return 1
+    if 128 % hop == 0:
+        return 128 // hop
+    raise ValueError(
+        f"pallas DSP needs hop % 128 == 0 or hop | 128; got hop={hop}"
+    )
 
 
 def _win_encode(window: str, n_fft: int, win_length: Optional[int]):
@@ -100,6 +118,37 @@ def _pallas_aligned(x, hop: int, n_fft: int):
     return _pad_tail(x, extra), f_keep
 
 
+def _interleave_phases(outs, f_total: int):
+    """Phase outputs [p] of shape (..., f_p, K), f_p = #frames ≡ p (mod m)
+    -> (..., f_total, K) with frame order restored (j*m + p)."""
+    import jax.numpy as jnp
+
+    f_max = max(o.shape[-2] for o in outs)
+    outs = [
+        jnp.pad(o, [(0, 0)] * (o.ndim - 2)
+                + [(0, f_max - o.shape[-2]), (0, 0)])
+        for o in outs
+    ]
+    st = jnp.stack(outs, axis=-2)              # (..., f_max, m, K)
+    st = st.reshape(*st.shape[:-3], f_max * len(outs), st.shape[-1])
+    return st[..., :f_total, :]
+
+
+def _stft_phased(x, n_fft: int, hop: int, window: str, m: int):
+    """Sub-128 hop STFT on Pallas: phase p = frames p, p+m, p+2m, … — each
+    phase is a direct kernel call at stride hop*m = 128 on the waveform
+    shifted by p*hop (lane-aligned slices only reach the kernel)."""
+    from gan_sass_tf_tpu.ops.pallas_stft import stft_pallas
+
+    f_total = 1 + (x.shape[-1] - n_fft) // hop
+    hop2 = hop * m
+    outs = []
+    for p in range(min(m, f_total)):
+        xp, f_keep = _pallas_aligned(x[..., p * hop :], hop2, n_fft)
+        outs.append(stft_pallas(xp, n_fft, hop2, window)[..., :f_keep, :])
+    return _interleave_phases(outs, f_total)
+
+
 def stft(x, n_fft: int, hop: int, window: str = "hann", backend: str = "auto",
          win_length: Optional[int] = None):
     window, pad = _win_encode(window, n_fft, win_length)
@@ -107,6 +156,9 @@ def stft(x, n_fft: int, hop: int, window: str = "hann", backend: str = "auto",
     if _resolve(backend, n_fft, hop) == "pallas":
         from gan_sass_tf_tpu.ops.pallas_stft import stft_pallas
 
+        m = _phases(hop)
+        if m > 1:
+            return _stft_phased(x, n_fft, hop, window, m)
         x, f_keep = _pallas_aligned(x, hop, n_fft)
         return stft_pallas(x, n_fft, hop, window)[..., :f_keep, :]
     return _xla_stft(x, n_fft, hop, window)
@@ -133,6 +185,24 @@ def stft_features(x, dsp_cfg, emit=("logmag",), backend: str = "auto"):
     if _resolve(backend, n_fft, hop) == "pallas":
         from gan_sass_tf_tpu.ops.pallas_stft import stft_features_pallas
 
+        m = _phases(hop)
+        if m > 1:
+            f_total = 1 + (x.shape[-1] - n_fft) // hop
+            hop2 = hop * m
+            phase_outs = []
+            for p in range(min(m, f_total)):
+                xp, f_keep = _pallas_aligned(x[..., p * hop :], hop2, n_fft)
+                o = stft_features_pallas(
+                    xp, n_fft, hop2, window, emit=tuple(emit),
+                    mel_matrix=mel, eps=dsp_cfg.eps,
+                )
+                phase_outs.append(
+                    {k: v[..., :f_keep, :] for k, v in o.items()}
+                )
+            return {
+                k: _interleave_phases([po[k] for po in phase_outs], f_total)
+                for k in phase_outs[0]
+            }
         x, f_keep = _pallas_aligned(x, hop, n_fft)
         out = stft_features_pallas(
             x, n_fft, hop, window, emit=tuple(emit),
@@ -156,6 +226,28 @@ def stft_features(x, dsp_cfg, emit=("logmag",), backend: str = "auto"):
     return out
 
 
+def _combine_phases(ys, n_fft: int, hop: int, window: str, f: int,
+                    length: Optional[int]):
+    """Phase waveforms ys[p] (raw windowed OLA, env="none") -> the full
+    least-squares iSTFT: shift-add the phases, then one multiply by the
+    TRUE hop-level inverse envelope (the phase kernels must not normalize
+    by their own hop*m envelopes)."""
+    import jax.numpy as jnp
+
+    from gan_sass_tf_tpu.dsp.windows import cola_norm, get_window, safe_inv_env
+
+    out_len = (f - 1) * hop + n_fft
+    acc = None
+    for p, y_p in enumerate(ys):
+        pad_l = p * hop
+        pad_r = out_len - pad_l - y_p.shape[-1]
+        y_p = jnp.pad(y_p, [(0, 0)] * (y_p.ndim - 1) + [(pad_l, pad_r)])
+        acc = y_p if acc is None else acc + y_p
+    w = get_window(window, n_fft)
+    y = acc * jnp.asarray(safe_inv_env(cola_norm(w, hop, f)))
+    return y[..., :length] if length is not None else y
+
+
 def istft(spec, n_fft: int, hop: int, window: str = "hann",
           length: Optional[int] = None, backend: str = "auto",
           win_length: Optional[int] = None):
@@ -165,6 +257,15 @@ def istft(spec, n_fft: int, hop: int, window: str = "hann",
     if _resolve(backend, n_fft, hop) == "pallas":
         from gan_sass_tf_tpu.ops.pallas_istft import istft_pallas
 
+        m = _phases(hop)
+        if m > 1:
+            f = spec.shape[-2]
+            ys = [
+                istft_pallas(spec[..., p::m, :], n_fft, hop * m, window,
+                             env="none")
+                for p in range(min(m, f))
+            ]
+            return _combine_phases(ys, n_fft, hop, window, f, length)
         return istft_pallas(spec, n_fft, hop, window, length)
     return _xla_istft(spec, n_fft, hop, window, length, norm="global")
 
@@ -181,6 +282,18 @@ def masked_istft(spec, masks, n_fft: int, hop: int, window: str = "hann",
     if _resolve(backend, n_fft, hop) == "pallas":
         from gan_sass_tf_tpu.ops.pallas_istft import masked_istft_pallas
 
+        m = _phases(hop)
+        if m > 1:
+            f = spec.shape[-2]
+            ys = []
+            for p in range(min(m, f)):
+                msl = (masks[..., p::m, :, :] if mask_type == "complex"
+                       else masks[..., p::m, :])
+                ys.append(masked_istft_pallas(
+                    spec[..., p::m, :], msl, n_fft, hop * m, window,
+                    mask_type, None, env="none",
+                ))
+            return _combine_phases(ys, n_fft, hop, window, f, length)
         return masked_istft_pallas(
             spec, masks, n_fft, hop, window, mask_type, length
         )

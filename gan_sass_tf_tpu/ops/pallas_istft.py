@@ -91,8 +91,14 @@ def _istft_kernel(re_ref, im_ref, ci_ref, si_ref, env_ref, out_ref,
 
 
 def _istft_ri_fwd_impl(re: jax.Array, im: jax.Array, n_fft: int, hop: int,
-                       window: str) -> jax.Array:
-    """(B, F, K_pad-unpadded K) real/imag planes -> (B, out_len) waveforms."""
+                       window: str, env: str = "full") -> jax.Array:
+    """(B, F, K_pad-unpadded K) real/imag planes -> (B, out_len) waveforms.
+
+    env="full": least-squares normalization by the overlap-added squared
+    window (the default).  env="none": raw windowed overlap-add — used by
+    the phased sub-128-hop decomposition in ops.dispatch, which combines
+    several phase outputs first and applies the TRUE hop-level envelope
+    once at the end."""
     b, f, n_bins = re.shape
     k_pad = _round_up(n_bins, 128)
     re_p = jnp.pad(re, ((0, 0), (0, 0), (0, k_pad - n_bins)))
@@ -101,7 +107,10 @@ def _istft_ri_fwd_impl(re: jax.Array, im: jax.Array, n_fft: int, hop: int,
     w = get_window(window, n_fft)
     r = n_fft // hop
     nrows = f + r - 1
-    inv_env = safe_inv_env(cola_norm(w, hop, f)).reshape(nrows, hop)
+    if env == "none":
+        inv_env = np.ones((nrows, hop), np.float32)
+    else:
+        inv_env = safe_inv_env(cola_norm(w, hop, f)).reshape(nrows, hop)
     kernel = functools.partial(_istft_kernel, n_frames=f, hop=hop, n_fft=n_fft)
     out = pl.pallas_call(
         kernel,
@@ -130,16 +139,16 @@ def _istft_ri_fwd_impl(re: jax.Array, im: jax.Array, n_fft: int, hop: int,
     return out.reshape(b, nrows * hop)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def _istft_ri(re, im, n_fft, hop, window):
-    return _istft_ri_fwd_impl(re, im, n_fft, hop, window)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _istft_ri(re, im, n_fft, hop, window, env="full"):
+    return _istft_ri_fwd_impl(re, im, n_fft, hop, window, env)
 
 
-def _istft_ri_fwd(re, im, n_fft, hop, window):
-    return _istft_ri_fwd_impl(re, im, n_fft, hop, window), re.shape
+def _istft_ri_fwd(re, im, n_fft, hop, window, env="full"):
+    return _istft_ri_fwd_impl(re, im, n_fft, hop, window, env), re.shape
 
 
-def _istft_ri_bwd(n_fft, hop, window, res, dy):
+def _istft_ri_bwd(n_fft, hop, window, env, res, dy):
     """Adjoint of y = OLA(w · irdft(re, im)) / env:
     dframes = frame(dy / env) · w;  dre = dframes @ Ciᵀ, dim = dframes @ Siᵀ
     (window already folded into Ci/Si).  Runs as XLA — matmuls hit the MXU."""
@@ -147,7 +156,10 @@ def _istft_ri_bwd(n_fft, hop, window, res, dy):
     b, f, n_bins = shape
     k_pad = _round_up(n_bins, 128)
     w = get_window(window, n_fft)
-    dy_n = dy * jnp.asarray(safe_inv_env(cola_norm(w, hop, f)))
+    if env == "none":
+        dy_n = dy
+    else:
+        dy_n = dy * jnp.asarray(safe_inv_env(cola_norm(w, hop, f)))
     dframes = frame_signal(dy_n, n_fft, hop)          # (B, F, n_fft)
     ci, si = _idft_matrices(n_fft, window, k_pad)
     dre = jnp.matmul(dframes, jnp.asarray(ci.T),
@@ -196,6 +208,7 @@ def masked_istft_pallas(
     window: str = "hann",
     mask_type: str = "magnitude",
     length: Optional[int] = None,
+    env: str = "full",
 ) -> jax.Array:
     """Mixture STFT (..., F, K) + masks (..., S, F, K[, 2]) -> separated
     wavs (..., S, T) in ONE kernel — the separated complex spectra are never
@@ -222,7 +235,10 @@ def masked_istft_pallas(
     w = get_window(window, n_fft)
     r = n_fft // hop
     nrows = f + r - 1
-    inv_env = safe_inv_env(cola_norm(w, hop, f)).reshape(nrows, hop)
+    if env == "none":
+        inv_env = np.ones((nrows, hop), np.float32)
+    else:
+        inv_env = safe_inv_env(cola_norm(w, hop, f)).reshape(nrows, hop)
 
     m_block = (1, 1, f, k_pad) + ((2,) if complex_mask else ())
     m_index = (lambda i: (i // s, i % s, 0, 0, 0)) if complex_mask else (
@@ -266,7 +282,7 @@ def masked_istft_pallas(
 
 
 def istft_pallas(spec: jax.Array, n_fft: int, hop: int, window: str = "hann",
-                 length: Optional[int] = None) -> jax.Array:
+                 length: Optional[int] = None, env: str = "full") -> jax.Array:
     """(..., F, n_bins) complex -> (..., T) float32; same least-squares
     semantics as dsp.istft(norm="global"), fused on TPU."""
     if n_fft % hop != 0:
@@ -277,7 +293,7 @@ def istft_pallas(spec: jax.Array, n_fft: int, hop: int, window: str = "hann",
     b = int(np.prod(lead)) if lead else 1
     re = jnp.real(spec).reshape(b, f, n_bins).astype(jnp.float32)
     im = jnp.imag(spec).reshape(b, f, n_bins).astype(jnp.float32)
-    y = _istft_ri(re, im, n_fft, hop, window)
+    y = _istft_ri(re, im, n_fft, hop, window, env)
     out_len = (f - 1) * hop + n_fft
     y = y[:, :out_len]
     if length is not None:
