@@ -77,6 +77,12 @@ class ModelConfig:
     g_layers: int = 2              # BiLSTM stack depth
     g_time_stride: bool = True     # conv U-Net downsamples T as well as F
     d_channels: Tuple[int, ...] = (32, 64, 128)
+    d_input_fold: int = 1          # fold this many time-frames into the D
+    #                                input's channel dim ((B·S, T/f, K, 2f)
+    #                                instead of (B·S, T, K, 2)); the stem
+    #                                conv shrinks accordingly so the
+    #                                function class is unchanged.  2 avoids
+    #                                the 2-channel-tensor TPU layouts
     d_stem_stride: Tuple[int, int] = (2, 4)  # D first-conv (T, F) stride,
     #                                kernel = 2x stride.  (2,4)/(4,8) is the
     #                                TPU-fast stem (the 2-channel input conv

@@ -29,6 +29,7 @@ def _conv(cfg):
         leak=cfg.model.leak,
         dropout=cfg.model.dropout,
         stem_stride=cfg.model.d_stem_stride,
+        input_fold=cfg.model.d_input_fold,
         dtype=jnp.dtype(cfg.model.compute_dtype),
     )
 
@@ -41,6 +42,7 @@ def _patch(cfg):
         leak=cfg.model.leak,
         dropout=cfg.model.dropout,
         stem_stride=cfg.model.d_stem_stride,
+        input_fold=cfg.model.d_input_fold,
         dtype=jnp.dtype(cfg.model.compute_dtype),
     )
 
@@ -62,13 +64,22 @@ class ConvDiscriminator(nn.Module):
     # (T, K) grid) — measured 3.7x faster fwd+bwd+input-grad at equal
     # quality (BASELINE.md round 2).  Set (2, 2) for the classic stem.
     stem_stride: Sequence[int] = (2, 4)
+    # input_fold f: the input arrives with f consecutive frames folded into
+    # channels ((N, T/f, K, 2f)); the stem kernel/stride shrink by f along
+    # T so the receptive field and function class match the unfolded stem.
+    input_fold: int = 1
     dtype: jnp.dtype = jnp.float32       # compute dtype (bf16 speed path)
 
     def _stem_geometry(self, i: int):
         if i > 0:
             return (4, 4), (2, 2)
         st, sk = self.stem_stride
-        return (2 * st, 2 * sk), (st, sk)
+        f = self.input_fold
+        if st % f != 0 and f % st != 0:
+            raise ValueError(f"d_input_fold {f} incompatible with stem "
+                             f"time-stride {st}")
+        kt = max(1, (2 * st) // f)
+        return (kt, 2 * sk), (max(1, st // f), sk)
 
     def _norm(self, x: jax.Array, train: bool) -> jax.Array:
         if self.norm == "batch":

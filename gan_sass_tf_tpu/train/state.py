@@ -45,7 +45,8 @@ def create_train_state(cfg, g, d, rng: jax.Array) -> TrainState:
     rng_g, rng_d = jax.random.split(rng)
     feats = jnp.zeros((b, t, f_feat), jnp.float32)
     g_vars = g.init(rng_g, feats, train=False)
-    d_in = jnp.zeros((b * s, t, k, 2), jnp.float32)
+    fold = getattr(cfg.model, "d_input_fold", 1)
+    d_in = jnp.zeros((b * s, t // fold, k, 2 * fold), jnp.float32)
     d_vars = d.init(rng_d, d_in, train=False)
     g_tx, d_tx = make_optimizers(cfg)
     g_params = g_vars["params"]

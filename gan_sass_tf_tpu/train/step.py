@@ -95,17 +95,29 @@ def build_train_step(cfg, g, d, axis_names: Tuple[str, ...] = (),
 
     d_in_dtype = jnp.dtype(cfg.model.compute_dtype)
 
+    d_fold = cfg.model.d_input_fold
+
     def d_input(mix_logmag, cand_logmag):
-        """(B,T,K) mixture + (B,S,T,K) candidates -> (B*S, T, K, 2).
+        """(B,T,K) mixture + (B,S,T,K) candidates -> (B*S, T/f, K, 2f).
         D always judges (mixture, candidate) linear log-magnitude pairs.
-        Materialized in the compute dtype — this tensor is built 3x per step
-        and the step is HBM-bandwidth-bound."""
+        Materialized in the compute dtype.  d_input_fold > 1 folds f
+        consecutive frames into channels — C=2 tensors at full (T, K)
+        resolution force padded TPU layouts (profiled as the hottest op
+        family in the step); the stem conv shrinks by the same factor so
+        the discriminator computes the same function class."""
         b, s = cand_logmag.shape[:2]
         mix_b = jnp.broadcast_to(mix_logmag[:, None], cand_logmag.shape)
         x = jnp.stack(
             [mix_b.astype(d_in_dtype), cand_logmag.astype(d_in_dtype)], axis=-1
         )
-        return x.reshape(b * s, *x.shape[2:])
+        x = x.reshape(b * s, *x.shape[2:])            # (B·S, T, K, 2)
+        if d_fold > 1:
+            bs, t_, k_, c_ = x.shape
+            t2 = (t_ // d_fold) * d_fold
+            x = x[:, :t2].reshape(bs, t2 // d_fold, d_fold, k_, c_)
+            x = jnp.moveaxis(x, 2, 3).reshape(
+                bs, t2 // d_fold, k_, d_fold * c_)
+        return x
 
     def d_apply(d_params, d_stats, x, update_stats: bool, rng=None):
         variables = _d_vars(d_params, d_stats)

@@ -290,3 +290,16 @@ def test_win_length_training_step():
     assert all(np.isfinite(v) for v in m.values())
     ev = exp.evaluate(num_batches=1)
     assert np.isfinite(ev["si_sdr"])
+
+
+def test_d_input_fold_training():
+    """d_input_fold=2: D consumes (B*S, T/2, K, 4) with a stem shrunk to
+    match — same function class, avoids C=2 tensor layouts on TPU."""
+    base = _tiny_cfg()
+    cfg = base.replace(
+        model=base.model.__class__(**{**base.model.__dict__,
+                                      "d_input_fold": 2}),
+    )
+    exp = Experiment(cfg, workdir=None)
+    m = exp.train(num_steps=2)
+    assert all(np.isfinite(v) for v in m.values())
