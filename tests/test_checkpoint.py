@@ -108,3 +108,35 @@ def test_profiler_trace_capture(tmp_path):
     assert os.path.isdir(prof)
     found = [f for _, _, fs in os.walk(prof) for f in fs]
     assert found, "no profiler artifacts written"
+
+
+def test_restore_across_mesh_sizes(tmp_path):
+    """SURVEY §5.4: checkpoints restore with abstract-tree matching so the
+    mesh topology can CHANGE between save and load — save on a 1-device
+    mesh, resume on the full 8-device mesh (re-shard on restore)."""
+    from gan_sass_tf_tpu.config import MeshConfig
+    from gan_sass_tf_tpu.parallel import make_mesh
+
+    cfg = _cfg(ckpt_every=100)
+    wd = str(tmp_path / "xmesh")
+    exp1 = Experiment(cfg, workdir=wd, mesh=make_mesh(MeshConfig(data_axis_size=1)))
+    exp1.train(num_steps=3)
+    exp1.save()
+    g_ref = np.asarray(
+        np.concatenate([np.ravel(x) for x in
+                        __import__("jax").tree_util.tree_leaves(exp1.state.g_params)])
+    )
+    exp1.close()
+
+    exp8 = Experiment(cfg, workdir=wd)        # default: full 8-device mesh
+    assert exp8.mesh.devices.size == 8
+    assert int(exp8.state.step) == 3          # auto-resumed
+    g_now = np.asarray(
+        np.concatenate([np.ravel(x) for x in
+                        __import__("jax").tree_util.tree_leaves(exp8.state.g_params)])
+    )
+    np.testing.assert_array_equal(g_ref, g_now)
+    m = exp8.train(num_steps=2)               # keeps training on the new mesh
+    assert int(exp8.state.step) == 5
+    assert all(np.isfinite(v) for v in m.values())
+    exp8.close()
