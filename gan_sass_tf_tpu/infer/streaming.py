@@ -25,7 +25,7 @@ import numpy as np
 
 from gan_sass_tf_tpu import models
 from gan_sass_tf_tpu.dsp.stft import overlap_add
-from gan_sass_tf_tpu.parallel import batch_sharding, make_mesh
+from gan_sass_tf_tpu.parallel import make_mesh
 from gan_sass_tf_tpu.train.step import build_separate_fn
 
 
