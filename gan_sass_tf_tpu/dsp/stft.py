@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gan_sass_tf_tpu.dsp.windows import cola_norm, get_window
+from gan_sass_tf_tpu.dsp.windows import cola_norm, encode_win_length, get_window
 
 
 def num_frames(n_samples: int, n_fft: int, hop: int) -> int:
@@ -90,11 +90,9 @@ def stft(x: jax.Array, n_fft: int, hop: int, window: str = "hann",
     extra samples) and end-padding the signal by n_fft - win_length so the
     frame count is tf-exact: n_frames = 1 + (T - win_length)//hop.
     """
-    if win_length is not None and win_length != n_fft:
-        window = f"{window}@{win_length}"
-        x = jnp.pad(
-            x, [(0, 0)] * (x.ndim - 1) + [(0, n_fft - win_length)]
-        )
+    window, pad = encode_win_length(window, n_fft, win_length)
+    if pad:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
     w = jnp.asarray(get_window(window, n_fft))
     frames = frame_signal(x, n_fft, hop) * w
     return jnp.fft.rfft(frames, n=n_fft, axis=-1)
@@ -129,10 +127,9 @@ def istft(
     not given.
     """
     f = spec.shape[-2]
-    if win_length is not None and win_length != n_fft:
-        window = f"{window}@{win_length}"
-        if length is None:
-            length = (f - 1) * hop + win_length
+    window, pad = encode_win_length(window, n_fft, win_length)
+    if pad and length is None:
+        length = (f - 1) * hop + win_length
     w = get_window(window, n_fft)
     frames_t = jnp.fft.irfft(spec, n=n_fft, axis=-1).astype(jnp.float32)
     if norm == "tf":

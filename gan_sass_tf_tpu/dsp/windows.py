@@ -41,6 +41,21 @@ def get_window(name: str, win_length: int, dtype=np.float32) -> np.ndarray:
     return w.astype(dtype)
 
 
+def encode_win_length(window: str, n_fft: int, win_length=None):
+    """Canonical win_length < n_fft encoding (single source of truth for
+    the dispatch layer and the dsp oracle): returns the support-encoded
+    window name ("hann@400") and the end-padding that keeps tf.signal's
+    frame count (1 + (T - win_length)//hop) when applied to the signal."""
+    if win_length is None or win_length == n_fft:
+        return window, 0
+    if win_length > n_fft:
+        raise ValueError(
+            f"win_length {win_length} > n_fft {n_fft}: tf.signal zero-pads "
+            "the frame to the FFT size, so win_length must be <= n_fft"
+        )
+    return f"{window}@{win_length}", n_fft - win_length
+
+
 def safe_inv_env(env: np.ndarray, rel_floor: float = 1e-2) -> np.ndarray:
     """1/env with the envelope clamped to rel_floor·max(env).
 

@@ -38,8 +38,16 @@ def _chunk_geometry(cfg, total: int):
         raise ValueError(f"overlap {overlap} >= chunk {chunk}")
     stride = chunk - overlap
     n_chunks = max(1, -(-(total - overlap) // stride))
-    padded = n_chunks * stride + overlap
-    return chunk, stride, overlap, n_chunks, padded
+    # win_length < n_fft: the tf-exact iSTFT cannot reconstruct the last
+    # n_fft - win_length samples of any segment (no analysis frame covers
+    # them; separate() zero-pads there).  Each chunk therefore READS a
+    # hop-aligned extension beyond its OLA span and the output is cropped
+    # back to `chunk`, so the silent tail never enters the cross-fade.
+    ext = cfg.dsp.n_fft - cfg.dsp.win_length
+    if ext:
+        ext = -(-ext // hop) * hop
+    padded = n_chunks * stride + overlap + ext
+    return chunk, stride, overlap, n_chunks, padded, ext
 
 
 def _chain_permutations(
@@ -121,16 +129,19 @@ def build_streaming_scan_fn(cfg, g):
     overlap = cfg.stream.overlap_frames * hop
     s = cfg.data.num_sources
     perms = permutations_for(s)                     # (P, S) static
+    ext = cfg.dsp.n_fft - cfg.dsp.win_length        # see _chunk_geometry
+    if ext:
+        ext = -(-ext // hop) * hop
 
     def scan_separate(g_params, chunks):
-        t_c = chunks.shape[-1]
+        t_c = chunks.shape[-1] - ext                # OLA span of each chunk
         stride = t_c - overlap
         ramp = (jnp.arange(1, overlap + 1) / (overlap + 1)).astype(jnp.float32)
 
         def body(carry_tail, xs):
             # carry_tail: (S, overlap) — previous chunk's fade-out segment.
             chunk, i = xs
-            wavs = separate(g_params, chunk[None])[0]           # (S, T_c)
+            wavs = separate(g_params, chunk[None])[0][:, :t_c]  # (S, T_c)
             # Match source order to the carried tail (L2 over the overlap).
             head = wavs[:, :overlap]
             errs = jnp.stack(
@@ -173,9 +184,10 @@ def separate_streaming_scan(g_params, cfg, mixture: np.ndarray) -> np.ndarray:
     """Host wrapper for the scan-carry streamer: (T,) -> (S, T)."""
     mixture = np.asarray(mixture, np.float32)
     t_in = mixture.shape[-1]
-    chunk, stride, overlap, n_chunks, padded = _chunk_geometry(cfg, t_in)
+    chunk, stride, overlap, n_chunks, padded, ext = _chunk_geometry(cfg, t_in)
+    idx = (np.arange(n_chunks)[:, None] * stride
+           + np.arange(chunk + ext)[None, :])
     wav = np.pad(mixture, (0, padded - t_in))
-    idx = np.arange(n_chunks)[:, None] * stride + np.arange(chunk)[None, :]
     chunks = jnp.asarray(wav[idx])
     fn = streaming_scan_fn_for(cfg)
     segs, tail = fn(g_params, chunks)                # (N,S,stride), (S,overlap)
@@ -184,29 +196,22 @@ def separate_streaming_scan(g_params, cfg, mixture: np.ndarray) -> np.ndarray:
     return full[..., :t_in]
 
 
-_BATCH_FN_CACHE: dict = {}
-
-
+@functools.lru_cache(maxsize=8)
 def _batched_separate_fn_for(cfg, mesh):
     """Memoized mesh-sharded separate graph, keyed by (cfg, mesh) — both
     hashable.  shard_map (not GSPMD): the Pallas kernels inside the fused
     separate graph are opaque to the auto-partitioner."""
-    key = (cfg, mesh)
-    fn = _BATCH_FN_CACHE.get(key)
-    if fn is None:
-        from jax.sharding import PartitionSpec as P
+    from jax.sharding import PartitionSpec as P
 
-        g = models.build_generator(cfg)
-        fn = jax.jit(
-            jax.shard_map(
-                build_separate_fn(cfg, g), mesh=mesh,
-                in_specs=(P(), P(mesh.axis_names)),
-                out_specs=P(mesh.axis_names),
-                check_vma=False,
-            )
+    g = models.build_generator(cfg)
+    return jax.jit(
+        jax.shard_map(
+            build_separate_fn(cfg, g), mesh=mesh,
+            in_specs=(P(), P(mesh.axis_names)),
+            out_specs=P(mesh.axis_names),
+            check_vma=False,
         )
-        _BATCH_FN_CACHE[key] = fn
-    return fn
+    )
 
 
 def separate_streaming(
@@ -222,14 +227,16 @@ def separate_streaming(
     if mixture.ndim != 1:
         raise ValueError("separate_streaming takes a single (T,) waveform")
     t_in = mixture.shape[-1]
-    chunk, stride, overlap, n_chunks, padded = _chunk_geometry(cfg, t_in)
+    chunk, stride, overlap, n_chunks, padded, ext = _chunk_geometry(cfg, t_in)
     mesh = mesh if mesh is not None else make_mesh(cfg.mesh)
     if separate_fn is None:
         separate_fn = _batched_separate_fn_for(cfg, mesh)
 
     wav = np.pad(mixture, (0, padded - t_in))
-    # (N, chunk) overlapped chunk matrix — same shift-reshape framing trick.
-    idx = np.arange(n_chunks)[:, None] * stride + np.arange(chunk)[None, :]
+    # (N, chunk+ext) overlapped chunk matrix — shift-reshape framing trick;
+    # outputs are cropped back to `chunk` below (win_length extension).
+    idx = (np.arange(n_chunks)[:, None] * stride
+           + np.arange(chunk + ext)[None, :])
     chunks = wav[idx]
 
     # Host<->device traffic is the bottleneck through this environment's
@@ -253,8 +260,9 @@ def separate_streaming(
     chunks_dev = jax.device_put(
         chunks_pad.reshape(n_groups, bc, -1).astype(np.float32), shard3
     )
-    outs = [separate_fn(g_params, chunks_dev[gi]) for gi in range(n_groups)]
-    est = jnp.concatenate(outs, axis=0)[:n_chunks]        # (N, S, T_c) dev
+    outs = [separate_fn(g_params, chunks_dev[gi])[..., :chunk]
+            for gi in range(n_groups)]
+    est = jnp.concatenate(outs, axis=0)[:n_chunks]        # (N, S, chunk) dev
 
     strips = np.asarray(jnp.concatenate(
         [est[:, :, :overlap], est[:, :, stride : stride + overlap]], axis=-1

@@ -75,11 +75,14 @@ class ConvDiscriminator(nn.Module):
             return (4, 4), (2, 2)
         st, sk = self.stem_stride
         f = self.input_fold
-        if st % f != 0 and f % st != 0:
-            raise ValueError(f"d_input_fold {f} incompatible with stem "
-                             f"time-stride {st}")
-        kt = max(1, (2 * st) // f)
-        return (kt, 2 * sk), (max(1, st // f), sk)
+        if st % f != 0:
+            # f must divide the stem time-stride: otherwise the folded
+            # stem cannot reproduce the unfolded downsampling factor and
+            # the "function class unchanged" invariant silently breaks.
+            raise ValueError(
+                f"d_input_fold {f} must divide the stem time-stride {st}"
+            )
+        return ((2 * st) // f, 2 * sk), (st // f, sk)
 
     def _norm(self, x: jax.Array, train: bool) -> jax.Array:
         if self.norm == "batch":

@@ -88,15 +88,12 @@ def _win_encode(window: str, n_fft: int, win_length: Optional[int]):
     name (see dsp.windows.get_window) and the input end-padding that keeps
     the frame count tf-exact (1 + (T - win_length)//hop).  Both the XLA and
     Pallas paths consume the encoded name — the Pallas DFT matrices fold the
-    zero-padded window in, so no kernel changes are needed."""
-    if win_length is None or win_length == n_fft:
-        return window, 0
-    if win_length > n_fft:
-        raise ValueError(
-            f"win_length {win_length} > n_fft {n_fft}: tf.signal zero-pads "
-            "the frame to the FFT size, so win_length must be <= n_fft"
-        )
-    return f"{window}@{win_length}", n_fft - win_length
+    zero-padded window in, so no kernel changes are needed.  One shared
+    implementation (dsp.windows.encode_win_length) so the oracle and the
+    dispatch layer can never drift."""
+    from gan_sass_tf_tpu.dsp.windows import encode_win_length
+
+    return encode_win_length(window, n_fft, win_length)
 
 
 def _pad_tail(x, pad: int):

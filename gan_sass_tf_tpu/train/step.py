@@ -153,6 +153,17 @@ def build_train_step(cfg, g, d, axis_names: Tuple[str, ...] = (),
     def train_step(state: TrainState, data: jax.Array, rng: jax.Array):
         rng = jax.random.fold_in(rng, state.step)
         rng_mix, rng_data, rng_g, rng_dl, rng_ga = jax.random.split(rng, 5)
+        if use_dropout and axis_names:
+            # Decorrelate dropout masks across data-parallel shards: the
+            # step rng is replicated, so without this every shard would
+            # apply the SAME mask to its different local batch.  (Mixing /
+            # sampling keys already decorrelate via per-global-example
+            # fold_in.)  Shard 0 matches the unsharded step.
+            shard = _shard_offset(axis_names, 1)
+            rng_g, rng_dl, rng_ga = (
+                jax.random.fold_in(k, shard)
+                for k in (rng_g, rng_dl, rng_ga)
+            )
         if from_bank:
             from gan_sass_tf_tpu.data.device_bank import sample_bank
 
@@ -342,7 +353,11 @@ def build_separate_fn(cfg, g) -> Callable[[Any, jax.Array], jax.Array]:
         )
         # Length-stable output: with win_length < n_fft the tf-exact iSTFT
         # is (n_fft - win_length) samples shorter than the input grid — pad
-        # back so every consumer (streaming OLA, eval) sees (B, S, T_in).
+        # back with zeros so callers always see (B, S, T_in).  The zeros
+        # are honest (no analysis frame covers those samples, tf.signal
+        # semantics); the streaming paths read a hop-aligned extension per
+        # chunk and crop it off so the silent tail never enters their
+        # cross-fades (infer/streaming._chunk_geometry).
         t = mixture.shape[-1]
         if wavs.shape[-1] < t:
             wavs = jnp.pad(

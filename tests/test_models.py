@@ -164,3 +164,23 @@ def test_dropout_is_wired(rng):
     lb = d.apply(dvars, x, train=True, mutable=["batch_stats"],
                  rngs={"dropout": jax.random.PRNGKey(2)})[0]
     assert not np.allclose(np.asarray(la), np.asarray(lb))
+
+
+def test_d_input_fold_must_divide_stem_stride(rng):
+    """Fold values that cannot reproduce the unfolded downsampling factor
+    must be rejected (ADVICE r2 self-review), not silently change the
+    architecture."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+    from gan_sass_tf_tpu import config, models
+
+    base = config.get_config("2src_toy_cpu")
+    cfg = base.replace(
+        model=base.model.__class__(**{**base.model.__dict__,
+                                      "d_input_fold": 4}),  # stem T-stride 2
+    )
+    d = models.build_discriminator(cfg)
+    x = jnp.zeros((4, 8, base.dsp.n_bins, 8), jnp.float32)
+    with pytest.raises(ValueError, match="divide"):
+        d.init(jax.random.PRNGKey(0), x, train=False)
