@@ -18,8 +18,10 @@ import json
 import os
 import time
 
-WARMUP_STEPS = 5
-BENCH_STEPS = 100
+# Env overrides let the contract test run a fast configuration; the driver
+# runs the defaults.
+WARMUP_STEPS = int(os.environ.get("BENCH_WARMUP_STEPS", 5))
+BENCH_STEPS = int(os.environ.get("BENCH_STEPS", 100))
 
 
 def main() -> None:
@@ -46,7 +48,7 @@ def main() -> None:
     # 128/chip is the measured throughput knee on v5e (16 -> 5.9k, 32 ->
     # 7.2k, 64 -> 9.7k, 128 -> 13.4k, 256 -> 12.2k mix-s/s/chip): the step
     # is fixed-overhead-bound at small batch, HBM-pressure-bound beyond.
-    per_chip_batch = 128
+    per_chip_batch = int(os.environ.get("BENCH_BATCH", 128))
     cfg = cfg.replace(
         train=cfg.train.__class__(**{**cfg.train.__dict__,
                                      "batch_size": per_chip_batch * n_chips})

@@ -71,3 +71,25 @@ def test_entry_then_dryrun_same_process():
     )
     assert proc.returncode == 0, f"stderr:\n{proc.stderr[-3000:]}"
     assert "dryrun_multichip(8): ok" in proc.stdout
+
+
+def test_bench_json_contract():
+    """bench.py must print ONE parseable JSON line with the contract keys
+    (the driver runs it after every round) — exercised the way the driver
+    does, in a subprocess on the session's default backend, shrunk via the
+    env overrides."""
+    import json
+
+    env = _driver_env()
+    env.update({"BENCH_WARMUP_STEPS": "1", "BENCH_STEPS": "3",
+                "BENCH_BATCH": "8"})
+    proc = subprocess.run(
+        [sys.executable, "bench.py"], cwd=REPO, env=env, timeout=560,
+        capture_output=True, text=True,
+    )
+    assert proc.returncode == 0, f"stderr:\n{proc.stderr[-3000:]}"
+    lines = [ln for ln in proc.stdout.strip().splitlines() if ln.strip()]
+    assert len(lines) == 1, f"expected ONE JSON line, got: {lines}"
+    row = json.loads(lines[0])
+    assert set(row) == {"metric", "value", "unit", "vs_baseline"}
+    assert row["value"] > 0 and row["vs_baseline"] > 0
