@@ -7,6 +7,12 @@ On a TPU host this runs the fused bf16 training step with the device-resident
 data bank; on CPU it uses the same code path on the XLA DSP backend.
 """
 
+import os
+import sys
+
+# Runnable from anywhere: the package lives at the repo root, one level up.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import sys
 
 import numpy as np

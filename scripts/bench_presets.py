@@ -10,6 +10,12 @@ Usage: python scripts/bench_presets.py [preset ...]
 
 from __future__ import annotations
 
+import os
+import sys
+
+# Runnable from anywhere: the package lives at the repo root, one level up.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import json
 import sys
 import time

@@ -9,6 +9,12 @@ Prints one JSON line with the outcome for BASELINE.md.
 
 from __future__ import annotations
 
+import os
+import sys
+
+# Runnable from anywhere: the package lives at the repo root, one level up.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import json
 import sys
 import tempfile

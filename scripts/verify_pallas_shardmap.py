@@ -13,6 +13,12 @@ Run: plain `python scripts/verify_pallas_shardmap.py` (axon TPU backend).
 
 from __future__ import annotations
 
+import os
+import sys
+
+# Runnable from anywhere: the package lives at the repo root, one level up.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 
