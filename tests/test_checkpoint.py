@@ -140,3 +140,79 @@ def test_restore_across_mesh_sizes(tmp_path):
     assert int(exp8.state.step) == 5
     assert all(np.isfinite(v) for v in m.values())
     exp8.close()
+
+
+def test_kill_resume_continues(tmp_path):
+    """SURVEY §5.3 fault injection: SIGKILL a training process mid-run and
+    assert a fresh Experiment auto-resumes from the last checkpoint and
+    keeps training (bit-identical continuation semantics are covered by
+    test_save_restore_resume_bit_identical)."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    wd = str(tmp_path / "killrun")
+    code = f"""
+import sys
+sys.path.insert(0, {repr(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))})
+import jax
+jax.config.update("jax_platforms", "cpu")
+from gan_sass_tf_tpu import config
+from gan_sass_tf_tpu.train import Experiment
+cfg = config.get_config("2src_toy_cpu")
+cfg = cfg.replace(
+    train=cfg.train.__class__(**{{**cfg.train.__dict__, "batch_size": 8,
+                                 "ckpt_every": 2, "log_every": 1,
+                                 "eval_every": 10**9}}),
+    data=cfg.data.__class__(**{{**cfg.data.__dict__, "segment_seconds": 0.25}}),
+    model=cfg.model.__class__(**{{**cfg.model.__dict__,
+                                  "g_channels": (8,), "d_channels": (8,)}}),
+    mesh=cfg.mesh.__class__(data_axis_size=1),
+)
+exp = Experiment(cfg, workdir={repr(wd)})
+exp.train(num_steps=10_000)   # far more than we let it live
+"""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.Popen([sys.executable, "-c", code], env=env,
+                            stdout=subprocess.DEVNULL,
+                            stderr=subprocess.DEVNULL)
+    try:
+        ckpt_dir = os.path.join(wd, "checkpoints")
+        deadline = time.time() + 300
+        seen = 0
+        while time.time() < deadline:
+            if os.path.isdir(ckpt_dir):
+                done = [d for d in os.listdir(ckpt_dir)
+                        if d.isdigit()
+                        and not os.path.exists(os.path.join(
+                            ckpt_dir, d + ".orbax-checkpoint-tmp"))]
+                if done:
+                    seen = max(int(d) for d in done)
+                    if seen >= 2:
+                        break
+            time.sleep(0.5)
+        assert seen >= 2, "no completed checkpoint appeared before timeout"
+        proc.send_signal(signal.SIGKILL)          # fault injection
+        proc.wait(timeout=30)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+
+    # Survivor: auto-resume from the last completed step and keep going —
+    # with the run's own recorded config (the fingerprint guard refuses
+    # anything else), exactly how a real restart would do it.
+    from gan_sass_tf_tpu.config import Config, MeshConfig
+    from gan_sass_tf_tpu.parallel import make_mesh
+
+    with open(os.path.join(wd, "config.json")) as f:
+        cfg = Config.from_json(f.read())
+    exp = Experiment(cfg, workdir=wd, mesh=make_mesh(MeshConfig(data_axis_size=1)))
+    resumed = int(exp.state.step)
+    assert resumed >= 2
+    m = exp.train(num_steps=2)
+    assert int(exp.state.step) == resumed + 2
+    assert all(np.isfinite(v) for v in m.values())
+    exp.close()
