@@ -1,0 +1,29 @@
+"""Config system tests (reference layer L1, SURVEY §5.6): JSON round-trip
+for every preset (checkpoint fingerprint stability) and validation."""
+
+import pytest
+
+from gan_sass_tf_tpu import config
+
+
+def test_json_roundtrip_all_presets():
+    for name in config.list_configs():
+        cfg = config.get_config(name)
+        back = config.Config.from_json(cfg.to_json())
+        assert back == cfg, name                  # incl. tuple-typed fields
+        assert back.fingerprint() == cfg.fingerprint(), name
+
+
+def test_unknown_preset_raises():
+    with pytest.raises(KeyError, match="unknown config"):
+        config.get_config("no_such_preset")
+
+
+def test_duplicate_registration_raises():
+    with pytest.raises(ValueError, match="duplicate"):
+        config.register_config("2src_toy_cpu")(lambda: config.Config())
+
+
+def test_win_length_validation():
+    with pytest.raises(ValueError, match="win_length"):
+        config.DSPConfig(n_fft=128, win_length=256)
