@@ -56,6 +56,8 @@ def main(argv=None) -> int:
     p_train.add_argument("--no-resume", action="store_true")
     p_train.add_argument("--debug-nans", action="store_true",
                          help="trip on the first non-finite value in the step")
+    p_train.add_argument("--debug-leaks", action="store_true",
+                         help="trip on jit tracer leaks (jax.checking_leaks)")
     p_train.add_argument("--tensorboard", action="store_true",
                          help="mirror metrics to <workdir>/tb via tf.summary")
 
@@ -111,6 +113,7 @@ def main(argv=None) -> int:
 
         exp = Experiment(cfg, workdir=args.workdir, resume=not args.no_resume,
                          debug_nans=args.debug_nans,
+                         debug_leaks=args.debug_leaks,
                          tensorboard=args.tensorboard)
         prof = parse_profile_steps(args.profile_steps) if args.profile_steps else None
 

@@ -31,13 +31,16 @@ def load_wav_mono(path: str, target_sr: int) -> np.ndarray:
     if data.ndim == 2:
         data = data.mean(axis=1)
     if sr != target_sr:
-        # Cheap polyphase-free resample via linear interpolation; corpora
-        # should be pre-resampled for quality, this keeps mismatches working.
-        n_out = int(round(len(data) * target_sr / sr))
-        data = np.interp(
-            np.linspace(0.0, len(data) - 1.0, n_out),
-            np.arange(len(data), dtype=np.float64),
-            data,
+        # Polyphase resampling (scipy.signal.resample_poly): proper
+        # anti-aliasing filter, unlike linear interpolation which aliases
+        # everything above the target Nyquist (VERDICT r2 weak item 6).
+        from math import gcd
+
+        from scipy.signal import resample_poly
+
+        g = gcd(target_sr, sr)
+        data = resample_poly(
+            data.astype(np.float64), target_sr // g, sr // g
         ).astype(np.float32)
     return data
 

@@ -9,6 +9,8 @@ from gan_sass_tf_tpu.losses.pit import (
     pairwise_losses,
     permutations_for,
     pit_loss,
+    pool4,
+    pooled_match_perm,
 )
 from gan_sass_tf_tpu.losses.metrics import si_sdr, pit_si_sdr
 
@@ -16,5 +18,6 @@ __all__ = [
     "gan_d_loss", "gan_g_loss",
     "elem_loss", "recon_loss",
     "pairwise_losses", "pit_loss", "align_to_perm", "permutations_for",
+    "pool4", "pooled_match_perm",
     "si_sdr", "pit_si_sdr",
 ]

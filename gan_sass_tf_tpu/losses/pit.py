@@ -62,6 +62,31 @@ def pit_loss(
     return loss, perm
 
 
+def pool4(x: jax.Array) -> jax.Array:
+    """4x4 average-pool the trailing (T, K) grid of a (B, S, T, K) tensor.
+    Tiny debug grids (T or K < 4) pass through unchanged: truncating to
+    (t//4)*4 would yield an empty tensor whose mean() is NaN, silently
+    collapsing the PIT argmin to permutation 0."""
+    b_, s_, t_, k_ = x.shape
+    if t_ < 4 or k_ < 4:
+        return x
+    t4, k4 = (t_ // 4) * 4, (k_ // 4) * 4
+    x = x[:, :, :t4, :k4].reshape(b_, s_, t4 // 4, 4, k4 // 4, 4)
+    return x.mean(axis=(3, 5))
+
+
+def pooled_match_perm(est: jax.Array, tgt: jax.Array,
+                      kind: str = "l1") -> jax.Array:
+    """The train step's cheap PIT matching: best permutation argmin'd on a
+    bf16, 4x4-average-pooled (T, K) grid — ~32x less matching traffic than
+    the full-resolution f32 pairwise tensor, with unchanged permutation
+    decisions (the matching statistic is a mean over the grid anyway;
+    guarded by tests/test_losses.py pooled-vs-unpooled equivalence)."""
+    _, perm = pit_loss(pool4(est).astype(jnp.bfloat16),
+                       pool4(tgt).astype(jnp.bfloat16), kind)
+    return perm
+
+
 def align_to_perm(tgt: jax.Array, perm: jax.Array) -> jax.Array:
     """Reorder targets (B, S, ...) so tgt_aligned[b, s] = tgt[b, perm[b, s]]
     — i.e. target s now corresponds to estimate s."""

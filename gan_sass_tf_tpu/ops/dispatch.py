@@ -44,10 +44,49 @@ def _have_pallas_kernels() -> bool:
     return importlib.util.find_spec("gan_sass_tf_tpu.ops.pallas_stft") is not None
 
 
+# VMEM envelope of the matmul-DFT kernels: the (r, hop, K) cos/sin matrix
+# pair is ~2 * n_fft * (n_fft/2+1) * 4 bytes; past 1024 it no longer fits
+# alongside the pipeline buffers (n_fft 2048 → ~19 MB) and a submitted
+# kernel faults the TPU worker (see CLAUDE.md) — validate BEFORE pallas_call.
+_PALLAS_MAX_NFFT = 1024
+
+
+def _check_pallas_geometry(n_fft: int, hop: int) -> None:
+    """Raise a clean ValueError when an explicitly-requested Pallas backend
+    (config dsp.backend="pallas" or force_backend) is outside the envelope
+    the kernels were built for (VERDICT r2 item 4: a user-reachable config
+    value must never submit a geometry that can crash the TPU worker)."""
+    problems = []
+    if n_fft > _PALLAS_MAX_NFFT:
+        problems.append(
+            f"n_fft={n_fft} > {_PALLAS_MAX_NFFT} (DFT matrices exceed VMEM)"
+        )
+    if n_fft % hop != 0:
+        problems.append(f"n_fft={n_fft} not divisible by hop={hop}")
+    if hop % 128 != 0 and 128 % hop != 0:
+        problems.append(
+            f"hop={hop} neither a multiple nor a divisor of 128 "
+            "(TPU 128-lane tiling)"
+        )
+    if problems:
+        raise ValueError(
+            "Pallas DSP backend requested for an unsupported geometry: "
+            + "; ".join(problems)
+            + ". Supported: n_fft <= "
+            f"{_PALLAS_MAX_NFFT}, n_fft % hop == 0, and hop % 128 == 0 or "
+            "128 % hop == 0. Use backend='auto' (routes unsupported "
+            "geometries to the XLA path) or backend='xla'."
+        )
+
+
 def _resolve(backend: str, n_fft: int, hop: int) -> str:
     if _FORCED is not None:
+        if _FORCED == "pallas":
+            _check_pallas_geometry(n_fft, hop)
         return _FORCED
     if backend in ("xla", "pallas"):
+        if backend == "pallas":
+            _check_pallas_geometry(n_fft, hop)
         return backend
     # auto: Pallas wants TPU, divisible hop, DFT matrices that fit VMEM, and
     # 128-aligned hop (TPU memrefs are 128-lane tiled).  Measured ~1.9x

@@ -42,12 +42,17 @@ class Experiment:
         mesh=None,
         resume: bool = True,
         debug_nans: bool = False,
+        debug_leaks: bool = False,
         tensorboard: bool = False,
     ):
         if debug_nans:
             # NaN tripwire (SURVEY.md §5.2): recompile-and-locate on the
             # first non-finite value anywhere in the jitted step.
             jax.config.update("jax_debug_nans", True)
+        if debug_leaks:
+            # Tracer-leak tripwire (SURVEY.md §5.2, jax.checking_leaks):
+            # error if a trace-time value escapes a jitted function.
+            jax.config.update("jax_check_tracer_leaks", True)
         self.cfg = cfg
         self.workdir = workdir
         self.mesh = mesh if mesh is not None else make_mesh(cfg.mesh)

@@ -23,8 +23,8 @@ from gan_sass_tf_tpu.losses import (
     align_to_perm,
     gan_d_loss,
     gan_g_loss,
-    pit_loss,
     pit_si_sdr,
+    pooled_match_perm,
     recon_loss,
 )
 from gan_sass_tf_tpu.ops import dispatch as ops
@@ -153,12 +153,14 @@ def build_train_step(cfg, g, d, axis_names: Tuple[str, ...] = (),
     def train_step(state: TrainState, data: jax.Array, rng: jax.Array):
         rng = jax.random.fold_in(rng, state.step)
         rng_mix, rng_data, rng_g, rng_dl, rng_ga = jax.random.split(rng, 5)
-        if use_dropout and axis_names:
+        if use_dropout:
             # Decorrelate dropout masks across data-parallel shards: the
             # step rng is replicated, so without this every shard would
             # apply the SAME mask to its different local batch.  (Mixing /
             # sampling keys already decorrelate via per-global-example
-            # fold_in.)  Shard 0 matches the unsharded step.
+            # fold_in.)  Folded UNCONDITIONALLY — fold_in(k, 0) != k, so
+            # the unsharded step must fold too for shard 0 to genuinely
+            # match it (r2 advisor finding).
             shard = _shard_offset(axis_names, 1)
             rng_g, rng_dl, rng_ga = (
                 jax.random.fold_in(k, shard)
@@ -214,23 +216,7 @@ def build_train_step(cfg, g, d, axis_names: Tuple[str, ...] = (),
                 # matching statistic is a mean over the grid anyway).
                 match_kind = ("l1" if lcfg.recon_loss == "si_sdr"
                               else lcfg.recon_loss)
-
-                def _pool(x):
-                    b_, s_, t_, k_ = x.shape
-                    if t_ < 4 or k_ < 4:
-                        # Tiny debug grids: truncating to (t//4)*4 would
-                        # yield an empty tensor whose mean() is NaN,
-                        # silently collapsing the PIT argmin to permutation
-                        # 0 — match unpooled.
-                        return x
-                    t4, k4 = (t_ // 4) * 4, (k_ // 4) * 4
-                    x = x[:, :, :t4, :k4].reshape(
-                        b_, s_, t4 // 4, 4, k4 // 4, 4)
-                    return x.mean(axis=(3, 5))
-
-                _, perm = pit_loss(_pool(est_match).astype(jnp.bfloat16),
-                                   _pool(tgt_match).astype(jnp.bfloat16),
-                                   match_kind)
+                perm = pooled_match_perm(est_match, tgt_match, match_kind)
                 tgt_logmag_aligned = align_to_perm(tgt_logmag, perm)
                 tgt_recon_aligned = (
                     align_to_perm(tgt_recon, perm) if mag_domain

@@ -185,10 +185,16 @@ exp.train(num_steps=10_000)   # far more than we let it live
         seen = 0
         while time.time() < deadline:
             if os.path.isdir(ckpt_dir):
+                import glob as _glob
+
+                # orbax tmp-dir naming is version-dependent (often
+                # '<step>.orbax-checkpoint-tmp-<timestamp>') — glob the
+                # prefix so an in-progress save is never misclassified as
+                # complete (r2 advisor finding).
                 done = [d for d in os.listdir(ckpt_dir)
                         if d.isdigit()
-                        and not os.path.exists(os.path.join(
-                            ckpt_dir, d + ".orbax-checkpoint-tmp"))]
+                        and not _glob.glob(os.path.join(
+                            ckpt_dir, d + ".orbax-checkpoint-tmp*"))]
                 if done:
                     seen = max(int(d) for d in done)
                     if seen >= 2:

@@ -67,12 +67,31 @@ def test_wav_dir_missing_root():
 
 
 def test_wav_dir_resamples(tmp_path):
-    """Utterances at a different rate are linear-resampled to the config."""
+    """Utterances at a different rate are polyphase-resampled to the config."""
     cfg = _cfg(dataset="wav_dir", data_dir=str(tmp_path))
     _make_corpus(str(tmp_path), 16000)  # corpus at 2x the config rate
     ds = WavDirDataset(cfg, seed=0)
     batch = ds.batch(2)
     assert batch.shape == (2, 2, cfg.segment_samples)
+
+
+def test_resample_antialiases(tmp_path):
+    """Downsampling must low-pass first: a tone above the target Nyquist
+    (5 kHz, 16 kHz -> 8 kHz) must NOT fold back as an alias (the linear-
+    interp shim this replaced aliased it at near-full amplitude)."""
+    from scipy.io import wavfile
+
+    from gan_sass_tf_tpu.data.corpus import load_wav_mono
+
+    sr_in, sr_out, f0 = 16000, 8000, 5000.0
+    t = np.arange(sr_in) / sr_in
+    tone = (0.8 * np.sin(2 * np.pi * f0 * t)).astype(np.float32)
+    path = str(tmp_path / "tone.wav")
+    wavfile.write(path, sr_in, (tone * 32767).astype(np.int16))
+    out = load_wav_mono(path, sr_out)
+    assert abs(len(out) - sr_out) <= 2
+    # Aliased energy would land at |5000 - 8000| = 3000 Hz at ~full power.
+    assert np.sqrt(np.mean(out**2)) < 0.02 * np.sqrt(np.mean(tone**2))
 
 
 def test_mix_sources_mesh_offset_invariance():

@@ -54,6 +54,44 @@ def test_pit_finds_swap(rng):
     np.testing.assert_allclose(np.asarray(aligned), est, atol=0)
 
 
+@pytest.mark.parametrize("s,t,k", [(2, 184, 257), (3, 184, 257)])
+def test_pooled_match_equals_unpooled(rng, s, t, k):
+    """VERDICT r2 item 7: the train step's bf16 4x4-pooled PIT matching
+    (losses.pooled_match_perm, the ~32x matching-traffic shortcut) must pick
+    the SAME permutation as the full-resolution f32 argmin at the wsj0/3src
+    preset geometry (n_fft 512 → 257 bins, 3 s @ 8 kHz → 184 frames), across
+    training-realistic regimes from near-converged to early-training."""
+    b = 8
+    tgt = np.abs(rng.standard_normal((b, s, t, k))).astype(np.float32)
+    for mix_frac, noise_scale in [(0.0, 0.05), (0.3, 0.2), (0.6, 0.5)]:
+        # Estimate = permuted target blended toward the mixture + noise:
+        # early training emits near-mixture masks; late training emits the
+        # (permuted) targets.  The permutation must be recoverable in all.
+        perms = np.stack([rng.permutation(s) for _ in range(b)])
+        est = np.stack([tgt[i, perms[i]] for i in range(b)])
+        mixture = tgt.mean(axis=1, keepdims=True)
+        est = (1 - mix_frac) * est + mix_frac * mixture
+        est = est + noise_scale * rng.standard_normal(est.shape)
+        est = est.astype(np.float32)
+        _, perm_full = losses.pit_loss(jnp.asarray(est), jnp.asarray(tgt), "l1")
+        perm_pooled = losses.pooled_match_perm(
+            jnp.asarray(est), jnp.asarray(tgt), "l1"
+        )
+        np.testing.assert_array_equal(
+            np.asarray(perm_pooled), np.asarray(perm_full),
+            err_msg=f"pooled argmin diverged at mix_frac={mix_frac}",
+        )
+
+
+def test_pool4_tiny_grid_passthrough(rng):
+    """Grids with T or K < 4 must pass through un-pooled (truncation would
+    produce an empty tensor whose mean is NaN)."""
+    x = jnp.asarray(rng.standard_normal((2, 2, 3, 5)).astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(losses.pool4(x)), np.asarray(x))
+    y = jnp.asarray(rng.standard_normal((2, 2, 8, 8)).astype(np.float32))
+    assert losses.pool4(y).shape == (2, 2, 2, 2)
+
+
 # ---------------------------------------------------------------------------
 # GAN losses
 # ---------------------------------------------------------------------------

@@ -120,6 +120,45 @@ def test_pallas_rejects_bad_geometry(rng):
         istft_pallas(jnp.zeros((1, 10, 100), jnp.complex64), 256, 64)
 
 
+def test_forced_pallas_guards_geometry(rng):
+    """VERDICT r2 item 4: explicitly forcing the Pallas backend at a
+    geometry outside the kernels' envelope (e.g. the music preset's
+    n_fft 2048 — DFT matrices past VMEM) must raise a clean ValueError at
+    trace time, never reach pallas_call (a faulting Pallas kernel crashes
+    the TPU worker)."""
+    from gan_sass_tf_tpu import config as config_lib
+    from gan_sass_tf_tpu.ops import dispatch
+
+    x = jnp.zeros((1, 8192))
+    # n_fft too large for VMEM
+    with dispatch.force_backend("pallas"):
+        with pytest.raises(ValueError, match="VMEM"):
+            dispatch.stft(x, 2048, 512)
+    # hop neither multiple nor divisor of 128
+    with dispatch.force_backend("pallas"):
+        with pytest.raises(ValueError, match="128"):
+            dispatch.stft(x, 512, 96)
+    # n_fft not divisible by hop
+    with dispatch.force_backend("pallas"):
+        with pytest.raises(ValueError, match="divisible"):
+            dispatch.stft(x, 640, 256)
+    # the user-reachable path: music preset + dsp.backend="pallas"
+    cfg = config_lib.get_config("music_complex_44k")
+    dcfg = cfg.dsp.__class__(
+        **{**cfg.dsp.__dict__, "backend": "pallas"}
+    )
+    with pytest.raises(ValueError, match="VMEM"):
+        dispatch.stft_features(x, dcfg, emit=("logmag",),
+                               backend=dcfg.backend)
+    # istft / masked_istft guard too
+    spec = jnp.zeros((1, 8, 1025), jnp.complex64)
+    with pytest.raises(ValueError, match="VMEM"):
+        dispatch.istft(spec, 2048, 512, backend="pallas")
+    # auto stays silent and routes to XLA
+    out = dispatch.stft(x, 2048, 512, backend="auto")
+    assert out.shape[-1] == 1025
+
+
 def test_stft_features_pallas_matches_oracle(rng):
     """Fused STFT+features kernel vs the dsp oracle chain."""
     from gan_sass_tf_tpu.dsp.features import mel_filterbank

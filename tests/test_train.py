@@ -74,6 +74,19 @@ def test_alternating_update_changes_both_nets():
     assert int(exp.state.step) == 1
 
 
+def test_debug_leaks_smoke():
+    """SURVEY §5.2: the jax.checking_leaks sanitizer is wired through
+    Experiment(debug_leaks=True) and a clean step passes under it."""
+    cfg = _tiny_cfg()
+    try:
+        exp = Experiment(cfg, workdir=None, debug_leaks=True)
+        assert jax.config.jax_check_tracer_leaks
+        m = exp.train(num_steps=1)
+        assert np.isfinite(m["g_loss"])
+    finally:
+        jax.config.update("jax_check_tracer_leaks", False)
+
+
 def test_training_with_noise_sources():
     cfg = _tiny_cfg(num_noise=1, snr_db=10.0)
     exp = Experiment(cfg, workdir=None)
