@@ -1,10 +1,22 @@
 """Synthetic source generator — the test/CI stand-in for speech corpora
 (SURVEY.md §4.2.4: "fixtures must be synthetic"; no network in this env).
 
-Each virtual speaker s is a harmonic stack with a speaker-specific f0 range
-plus band-limited noise, amplitude-modulated by a slow random envelope —
-enough spectral structure that band-separation is learnable, cheap enough to
-generate on the host at line rate.
+Slot signal classes (DataConfig.slot_profiles; default "harmonic"):
+
+  * "harmonic" — a harmonic stack with a slot-specific f0 range plus
+    band-limited noise, amplitude-modulated by a slow random envelope.
+    With DataConfig.f0_mode="disjoint" (default) the slots occupy disjoint
+    f0 bands — separable by frequency alone (the round-1/2 protocol, whose
+    oracle-IRM bound training reaches).  With f0_mode="shared" every slot
+    draws f0 from ONE overlapped range and slots differ only by timbre
+    (harmonic rolloff) and modulation rate — the HARD quality protocol
+    (VERDICT r2 item 2): T-F overlap keeps the oracle bound finite and
+    training well below it, so quality stays a live optimization axis.
+  * "vocal"  — vibrato harmonic stack with a formant-like spectral envelope
+    (music "vocals" stand-in for the complex-mask workload,
+    BASELINE.json:10).
+  * "accomp" — chord tones + low-passed broadband bed + periodic decaying
+    transients (music "accompaniment": inharmonic + broadband energy).
 """
 
 from __future__ import annotations
@@ -12,10 +24,89 @@ from __future__ import annotations
 import numpy as np
 
 
+def _harmonic_slot(rng, nb, n, f0_lo, f0_hi, rolloff, env_lo, env_hi):
+    """(nb, T) harmonic-stack utterances: 4 harmonics with amplitude
+    rolloff ~ 1/h**rolloff, slow sinusoidal amplitude envelope."""
+    h = np.arange(1, 5, dtype=np.float64)
+    f0 = rng.uniform(f0_lo, f0_hi, size=(nb, 1, 1))
+    amp = rng.uniform(0.2, 1.0, size=(nb, 4, 1)) / (h[None, :, None] ** rolloff)
+    phase = rng.uniform(0, 2 * np.pi, size=(nb, 4, 1))
+    sig = np.sum(
+        amp * np.sin(2 * np.pi * f0 * h[None, :, None] * n + phase), axis=1
+    )
+    env_f = rng.uniform(env_lo, env_hi, size=(nb, 1))
+    env_p = rng.uniform(0, 2 * np.pi, size=(nb, 1))
+    env = 0.6 + 0.4 * np.sin(2 * np.pi * env_f * n + env_p)
+    return sig * env + 0.01 * rng.standard_normal(sig.shape)
+
+
+def _vocal_slot(rng, nb, n, sr):
+    """(nb, T) vocals stand-in: 8-harmonic stack with ~5.5 Hz vibrato and a
+    formant-like double-resonance spectral weighting, syllabic envelope."""
+    nh = 8
+    h = np.arange(1, nh + 1, dtype=np.float64)
+    f0 = rng.uniform(180.0, 330.0, size=(nb, 1, 1))
+    vib_rate = rng.uniform(4.5, 6.5, size=(nb, 1, 1))
+    vib_depth = rng.uniform(0.005, 0.02, size=(nb, 1, 1))
+    vib = 1.0 + vib_depth * np.sin(2 * np.pi * vib_rate * n)
+    # instantaneous phase of harmonic k = 2π k ∫ f0·vib dt
+    dt = 1.0 / sr
+    inst = np.cumsum(f0 * vib, axis=-1) * dt          # (nb, 1, T)
+    phase0 = rng.uniform(0, 2 * np.pi, size=(nb, nh, 1))
+    # formant-ish envelope: two resonances at random centers
+    fmt1 = rng.uniform(400.0, 900.0, size=(nb, 1, 1))
+    fmt2 = rng.uniform(1200.0, 2600.0, size=(nb, 1, 1))
+    freqs = f0 * h[None, :, None]                     # (nb, nh, 1)
+    w = (np.exp(-0.5 * ((freqs - fmt1) / 300.0) ** 2)
+         + 0.7 * np.exp(-0.5 * ((freqs - fmt2) / 500.0) ** 2)
+         + 0.15) / h[None, :, None] ** 0.5
+    sig = np.sum(w * np.sin(2 * np.pi * h[None, :, None] * inst + phase0),
+                 axis=1)
+    # syllabic on/off envelope (~3-5 Hz raised sine, floored)
+    env_f = rng.uniform(2.5, 5.0, size=(nb, 1))
+    env_p = rng.uniform(0, 2 * np.pi, size=(nb, 1))
+    env = np.clip(np.sin(2 * np.pi * env_f * n + env_p) + 0.4, 0.05, 1.0)
+    return sig * env + 0.005 * rng.standard_normal(sig.shape)
+
+
+def _accomp_slot(rng, nb, n, sr):
+    """(nb, T) accompaniment stand-in: 3-note chords (each with 3 harmonics),
+    a low-passed noise bed, and 2-4 Hz periodic decaying noise transients."""
+    t_len = n.shape[-1]
+    # chord: root from a low register, intervals of a third/fifth
+    root = rng.uniform(80.0, 220.0, size=(nb, 1, 1))
+    ratios = np.asarray([1.0, 1.26, 1.5])[None, :, None]  # major-ish triad
+    notes = root * ratios                                 # (nb, 3, 1)
+    sig = np.zeros((nb, t_len))
+    for k in range(1, 4):  # 3 harmonics per note
+        amp = rng.uniform(0.3, 1.0, size=(nb, 3, 1)) / k
+        ph = rng.uniform(0, 2 * np.pi, size=(nb, 3, 1))
+        sig += np.sum(amp * np.sin(2 * np.pi * notes * k * n + ph), axis=1)
+    # low-passed noise bed (one-pole smoothing of white noise)
+    bed = rng.standard_normal((nb, t_len))
+    alpha = np.exp(-2 * np.pi * 800.0 / sr)  # ~800 Hz one-pole lowpass
+    from scipy.signal import lfilter
+
+    bed = lfilter([1 - alpha], [1, -alpha], bed, axis=-1)
+    sig += 2.0 * bed
+    # periodic transients: decaying noise bursts at 2-4 Hz ("percussion")
+    rate = rng.uniform(2.0, 4.0, size=(nb,))
+    for bi in range(nb):
+        period = int(sr / rate[bi])
+        burst_len = int(0.05 * sr)
+        decay = np.exp(-np.arange(burst_len) / (0.01 * sr))
+        offs = rng.integers(period)
+        for start in range(offs, t_len - burst_len, period):
+            sig[bi, start:start + burst_len] += (
+                1.5 * decay * rng.standard_normal(burst_len)
+            )
+    return sig
+
+
 class SyntheticDataset:
     """Iterator of (B, S, T) float32 source batches.
 
-    Generation cost model: synthesizing fresh harmonic stacks per batch is
+    Generation cost model: synthesizing fresh stacks per batch is
     O(B·S·T·harmonics) host sin() work (~200 ms/step at realistic sizes —
     it throttled the 10 ms device step).  Like a real corpus, utterances are
     therefore synthesized ONCE into a per-source-slot bank; `batch()` only
@@ -32,31 +123,48 @@ class SyntheticDataset:
         self.segment = cfg.segment_samples
         self.sample_rate = cfg.dsp.sample_rate
         self._rng = np.random.default_rng(seed)
+        self._f0_mode = getattr(cfg.data, "f0_mode", "disjoint")
+        profiles = tuple(getattr(cfg.data, "slot_profiles", ()) or ())
+        if profiles and len(profiles) != self.num_sources:
+            raise ValueError(
+                f"slot_profiles has {len(profiles)} entries for "
+                f"num_sources={self.num_sources}"
+            )
+        self._profiles = profiles or ("harmonic",) * self.num_sources
         # Disjoint f0 bands per source slot so sources are separable.
         nyq = self.sample_rate / 2
         lo, hi = 80.0, min(1000.0, nyq / 4)
         edges = np.geomspace(lo, hi, self.num_sources + 1)
         self._f0_bands = list(zip(edges[:-1], edges[1:]))
+        self._shared_band = (100.0, min(420.0, nyq / 4))
         self._bank = None  # lazily built (S, BANK, T)
 
     def _build_bank(self) -> np.ndarray:
         s, t, sr, nb = self.num_sources, self.segment, self.sample_rate, self.BANK_PER_SLOT
         rng = self._rng
-        n = np.arange(t, dtype=np.float64) / sr
+        n = np.arange(t, dtype=np.float64)[None, :] / sr
         bank = np.zeros((s, nb, t), np.float32)
-        h = np.arange(1, 5, dtype=np.float64)                    # 4 harmonics
         for si in range(s):
-            f0 = rng.uniform(*self._f0_bands[si], size=(nb, 1, 1))
-            amp = rng.uniform(0.2, 1.0, size=(nb, 4, 1)) / h[None, :, None]
-            phase = rng.uniform(0, 2 * np.pi, size=(nb, 4, 1))
-            sig = np.sum(
-                amp * np.sin(2 * np.pi * f0 * h[None, :, None] * n + phase),
-                axis=1,
-            )                                                    # (nb, t)
-            env_f = rng.uniform(2.0, 5.0, size=(nb, 1))
-            env_p = rng.uniform(0, 2 * np.pi, size=(nb, 1))
-            env = 0.6 + 0.4 * np.sin(2 * np.pi * env_f * n + env_p)
-            sig = sig * env + 0.01 * rng.standard_normal((nb, t))
+            prof = self._profiles[si]
+            if prof == "harmonic":
+                if self._f0_mode == "shared":
+                    # Hard protocol: every slot draws f0 from the SAME range;
+                    # identity lives in timbre (harmonic rolloff) and
+                    # modulation rate only.
+                    f0_lo, f0_hi = self._shared_band
+                    rolloff = 0.6 + 0.5 * si          # slot timbre
+                    env_lo, env_hi = 1.5 + 2.5 * si, 3.0 + 2.5 * si
+                else:
+                    f0_lo, f0_hi = self._f0_bands[si]
+                    rolloff, env_lo, env_hi = 1.0, 2.0, 5.0
+                sig = _harmonic_slot(rng, nb, n, f0_lo, f0_hi,
+                                     rolloff, env_lo, env_hi)
+            elif prof == "vocal":
+                sig = _vocal_slot(rng, nb, n, sr)
+            elif prof == "accomp":
+                sig = _accomp_slot(rng, nb, n[0], sr)
+            else:
+                raise ValueError(f"unknown slot profile {prof!r}")
             bank[si] = (
                 sig / (np.abs(sig).max(axis=-1, keepdims=True) + 1e-6)
             ).astype(np.float32)

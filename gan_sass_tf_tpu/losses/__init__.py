@@ -13,6 +13,7 @@ from gan_sass_tf_tpu.losses.pit import (
     pooled_match_perm,
 )
 from gan_sass_tf_tpu.losses.metrics import si_sdr, pit_si_sdr
+from gan_sass_tf_tpu.losses.oracle import oracle_bound_si_sdr, oracle_masks
 
 __all__ = [
     "gan_d_loss", "gan_g_loss",
@@ -20,4 +21,5 @@ __all__ = [
     "pairwise_losses", "pit_loss", "align_to_perm", "permutations_for",
     "pool4", "pooled_match_perm",
     "si_sdr", "pit_si_sdr",
+    "oracle_bound_si_sdr", "oracle_masks",
 ]

@@ -71,7 +71,8 @@ def build_train_step(cfg, g, d, axis_names: Tuple[str, ...] = (),
     # vectors — both live in the 'batch_stats' mutable collection.
     has_bn = cfg.model.d_norm in ("batch", "spectral")
 
-    need_est_spec = lcfg.recon_domain == "wav" or dcfg.mask_type != "magnitude"
+    need_est_spec = (lcfg.recon_domain in ("wav", "cspec")
+                     or dcfg.mask_type != "magnitude")
     # Dropout (ModelConfig.dropout): modules are deterministic unless
     # train=True AND a 'dropout' rng is threaded through apply().
     use_dropout = cfg.model.dropout > 0.0
@@ -186,11 +187,14 @@ def build_train_step(cfg, g, d, axis_names: Tuple[str, ...] = (),
         mix_logmag = mix_out["logmag"]
         feats = mix_out["logmel"] if dcfg.feature == "logmel" else mix_logmag
         mag_domain = lcfg.recon_domain == "mag"
-        tgt_emit = ("mag", "logmag") if mag_domain else ("logmag",)
+        cspec_domain = lcfg.recon_domain == "cspec"
+        tgt_emit = (("mag", "logmag") if mag_domain else ("logmag",)) \
+            + (("spec",) if cspec_domain else ())
         tgt_out = ops.stft_features(scaled, dcfg, emit=tgt_emit,
                                     backend=dcfg.backend)
         tgt_logmag = tgt_out["logmag"]
         tgt_recon = tgt_out["mag"] if mag_domain else tgt_logmag
+        tgt_spec = tgt_out.get("spec")
 
         # ONE G forward per step, shared between the D updates (via
         # stop_gradient views), the PIT matching, and the G loss: the whole
@@ -226,11 +230,15 @@ def build_train_step(cfg, g, d, axis_names: Tuple[str, ...] = (),
                     align_to_perm(scaled, perm)
                     if lcfg.recon_domain == "wav" else scaled
                 )
+                tgt_spec_aligned = (
+                    align_to_perm(tgt_spec, perm) if cspec_domain else None
+                )
             else:
                 tgt_logmag_aligned = tgt_recon_aligned = tgt_logmag
                 if mag_domain:
                     tgt_recon_aligned = tgt_recon
                 scaled_aligned = scaled
+                tgt_spec_aligned = tgt_spec
 
             # -- D updates (stop-gradient constants w.r.t. g_params) -------
             # The (B·S,T,K,2) pair tensors are built once per step and
@@ -260,7 +268,9 @@ def build_train_step(cfg, g, d, axis_names: Tuple[str, ...] = (),
             # -- G loss against the just-updated discriminator -------------
             # Domains: "spec" = log-magnitude L1/MSE (the reference's loss);
             # "mag" = linear magnitude (does not over-weight silent bins);
-            # "wav" = waveform through the iSTFT VJP (supports si_sdr loss).
+            # "wav" = waveform through the iSTFT VJP (supports si_sdr loss);
+            # "cspec" = complex-spectrum (re, im) — phase-aware, the right
+            # domain for complex masks (BASELINE.json:10).
             if lcfg.recon_domain == "wav":
                 est_r = ops.istft(est_spec, n_fft, hop, window=dcfg.window,
                                   backend=dcfg.backend,
@@ -272,6 +282,18 @@ def build_train_step(cfg, g, d, axis_names: Tuple[str, ...] = (),
                     rec = -jnp.mean(_si_sdr(est_r, tgt_r))
                 else:
                     rec = recon_loss(est_r, tgt_r, lcfg.recon_loss)
+            elif cspec_domain:
+                # Complex-spectrum L1/MSE on (re, im): the phase-AWARE
+                # reconstruction domain — with complex masks, spec/mag
+                # domains leave the estimated phase completely
+                # unsupervised (SI-SDR is phase-sensitive, so such a model
+                # never separates in the waveform sense).
+                est_ri = jnp.stack(
+                    [jnp.real(est_spec), jnp.imag(est_spec)], axis=-1)
+                tgt_ri = jnp.stack(
+                    [jnp.real(tgt_spec_aligned),
+                     jnp.imag(tgt_spec_aligned)], axis=-1)
+                rec = recon_loss(est_ri, tgt_ri, lcfg.recon_loss)
             else:
                 if mag_domain:
                     est_r, tgt_r = est_mag, tgt_recon_aligned

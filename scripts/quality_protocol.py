@@ -1,0 +1,109 @@
+"""Quality protocol runner (VERDICT r2 items 1-2): train a preset on-chip,
+report eval SI-SDR improvement AND the oracle-mask ceiling for the task —
+the gap is the modeling headroom future rounds optimize.
+
+    python scripts/quality_protocol.py PRESET [STEPS] [--hard] [--set k=v ...]
+
+--hard applies the headroom protocol (BASELINE.json:2 kept a live axis):
+shared-f0 synthetic speakers (slot identity = timbre/modulation only, heavy
+T-F overlap) + Gaussian noise at 10 dB SNR.  For music_complex_44k the
+vocal/accomp slot profiles are applied automatically (BASELINE.json:10
+stand-ins; no real corpora in this env).
+
+Prints one JSON line:
+  {"preset":..., "hard":..., "steps":..., "si_sdr_improvement":...,
+   "oracle_bound":..., "headroom":..., "d_loss":...}
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def protocol_config(name: str, hard: bool, overrides=()):
+    from gan_sass_tf_tpu import config as config_lib
+    from gan_sass_tf_tpu.cli import _apply_overrides
+
+    cfg = config_lib.get_config(name)
+    data_kw = {"dataset": "synthetic"}
+    if name == "music_complex_44k":
+        data_kw["slot_profiles"] = ("vocal", "accomp")
+    if hard:
+        data_kw.update(f0_mode="shared", num_noise=1, snr_db=10.0)
+    cfg = cfg.replace(
+        data=dataclasses.replace(cfg.data, **data_kw)
+    )
+    return _apply_overrides(cfg, list(overrides))
+
+
+def oracle_bound_on_eval(exp, num_batches: int = 4) -> float:
+    """Oracle-mask SI-SDRi on the SAME eval distribution evaluate() uses
+    (same dataset stream contract: fresh batches, fixed per-batch keys)."""
+    from gan_sass_tf_tpu.data.mixer import mix_sources
+    from gan_sass_tf_tpu.losses import oracle_bound_si_sdr
+
+    cfg = exp.cfg
+
+    @jax.jit
+    def bound(sources, rng):
+        mixture, scaled = mix_sources(sources, rng, cfg.data)
+        return oracle_bound_si_sdr(mixture, scaled, cfg.dsp)
+
+    acc = 0.0
+    for i in range(num_batches):
+        sources = jnp.asarray(exp.eval_dataset.batch())
+        out = bound(sources, jax.random.PRNGKey(20_000 + i))
+        acc += float(out["si_sdr_improvement"]) / num_batches
+    return acc
+
+
+def main(argv) -> int:
+    from gan_sass_tf_tpu.train import Experiment
+
+    args = [a for a in argv if not a.startswith("--")]
+    hard = "--hard" in argv
+    overrides = []
+    for i, a in enumerate(argv):
+        if a == "--set" and i + 1 < len(argv):
+            overrides.append(argv[i + 1])
+    if overrides:
+        args = [a for a in args if a not in overrides]
+    preset = args[0] if args else "stream_v5e8"
+    steps = int(args[1]) if len(args) > 1 else 10_000
+
+    cfg = protocol_config(preset, hard, overrides)
+    exp = Experiment(cfg, workdir=None)
+    last = {}
+
+    def log(step, m):
+        if step % max(cfg.train.log_every * 10, 1) < cfg.train.log_every:
+            print(f"step {step}: g={m['g_loss']:.3f} d={m['d_loss']:.3f} "
+                  f"thr={m['mixture_sec_per_sec']:.0f}", file=sys.stderr,
+                  flush=True)
+
+    metrics = exp.train(num_steps=steps, log_fn=log)
+    ev = exp.evaluate(num_batches=8)
+    bound = oracle_bound_on_eval(exp, num_batches=8)
+    out = {
+        "preset": preset,
+        "hard": hard,
+        "steps": steps,
+        "si_sdr_improvement": round(ev["si_sdr_improvement"], 2),
+        "oracle_bound": round(bound, 2),
+        "headroom": round(bound - ev["si_sdr_improvement"], 2),
+        "d_loss": round(metrics.get("d_loss", float("nan")), 4),
+        "d_norm": cfg.model.d_norm,
+        "throughput": round(metrics.get("mixture_sec_per_sec", 0.0), 1),
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))

@@ -152,6 +152,34 @@ def test_complex_mask_training():
     assert np.isfinite(m["g_loss"]) and np.isfinite(m["d_loss"])
 
 
+def test_complex_mask_learns_separation():
+    """VERDICT r2 item 1 (CPU leg): the complex-mask GAN pipeline must
+    actually LEARN separation, not just produce finite losses — positive
+    eval SI-SDR improvement after a short train on music-like (vocal vs
+    accompaniment) fixtures at toy geometry."""
+    base = config.get_config("music_complex_44k")
+    cfg = base.replace(
+        dsp=base.dsp.__class__(**{**base.dsp.__dict__, "sample_rate": 8000,
+                                  "n_fft": 256, "hop_length": 64,
+                                  "win_length": 256}),
+        train=base.train.__class__(**{**base.train.__dict__,
+                                      "batch_size": 8, "log_every": 50}),
+        data=base.data.__class__(**{**base.data.__dict__,
+                                    "segment_seconds": 0.5,
+                                    "slot_profiles": ("vocal", "accomp")}),
+        model=base.model.__class__(**{**base.model.__dict__,
+                                      "g_channels": (8, 16),
+                                      "d_channels": (8, 16),
+                                      "compute_dtype": "float32"}),
+    )
+    exp = Experiment(cfg, workdir=None)
+    exp.train(num_steps=150)
+    ev = exp.evaluate(num_batches=2)
+    assert ev["si_sdr_improvement"] > 1.0, (
+        f"complex-mask training failed to separate: {ev}"
+    )
+
+
 def test_wav_domain_recon_training():
     """Waveform-domain reconstruction loss: trains through the iSTFT VJP."""
     base = _tiny_cfg()
