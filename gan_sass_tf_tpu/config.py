@@ -76,6 +76,20 @@ class ModelConfig:
     g_hidden: int = 256            # BiLSTM hidden / toy MLP width
     g_layers: int = 2              # BiLSTM stack depth
     g_time_stride: bool = True     # conv U-Net downsamples T as well as F
+    g_stem_stride: Tuple[int, int] = (1, 1)  # (T, F) grid reduction by a
+    #                                strided stem conv BEFORE the U-Net
+    #                                (kernel = 2x stride); masks are restored
+    #                                to the full (T, K) grid by a subpixel
+    #                                head.  (1,1) = off.  The whole U-Net
+    #                                then runs on the reduced grid — the
+    #                                G-side mirror of the D-stem trick (the
+    #                                decoder at full (T, K) with fat channels
+    #                                dominates the music-preset step).
+    g_decoder_slim: float = 1.0    # channel multiplier on the U-Net decoder
+    #                                (ConvTranspose + post-concat convs).
+    #                                The decoder carries ~85% of G's MACs at
+    #                                the music geometry; 0.5 halves it while
+    #                                keeping full (T, K) resolution.
     d_channels: Tuple[int, ...] = (32, 64, 128)
     d_input_fold: int = 1          # fold this many time-frames into the D
     #                                input's channel dim ((B·S, T/f, K, 2f)

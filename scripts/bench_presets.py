@@ -30,13 +30,16 @@ PRESET_STEPS = {
 }
 
 
-def bench_preset(name: str) -> dict:
+def bench_preset(name: str, set_overrides=()) -> dict:
     import jax
 
     from gan_sass_tf_tpu import config
+    from gan_sass_tf_tpu.cli import _apply_overrides
     from gan_sass_tf_tpu.train import Experiment
 
     cfg = config.get_config(name)
+    if set_overrides:
+        cfg = _apply_overrides(cfg, list(set_overrides))
     overrides = {}
     if cfg.data.dataset != "synthetic":
         overrides["data"] = cfg.data.__class__(
@@ -113,13 +116,24 @@ def bench_streaming() -> list:
 
 
 def main() -> None:
-    names = sys.argv[1:] or list(PRESET_STEPS)
+    argv = sys.argv[1:]
+    overrides = []
+    names = []
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--set" and i + 1 < len(argv):
+            overrides.append(argv[i + 1])
+            i += 2
+        else:
+            names.append(argv[i])
+            i += 1
+    names = names or list(PRESET_STEPS)
     for name in names:
         if name == "streaming":
             for row in bench_streaming():
                 print(json.dumps(row), flush=True)
             continue
-        print(json.dumps(bench_preset(name)), flush=True)
+        print(json.dumps(bench_preset(name, overrides)), flush=True)
 
 
 if __name__ == "__main__":

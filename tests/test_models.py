@@ -46,6 +46,58 @@ def test_generator_shapes_and_ranges(cfg_name, gen_name):
             np.testing.assert_allclose(m.sum(axis=1), 1.0, atol=1e-5)
 
 
+@pytest.mark.parametrize("stem", [(1, 2), (2, 4)])
+def test_conv_generator_stem_stride(stem):
+    """g_stem_stride runs the U-Net on a reduced grid but masks come back at
+    the full (T, K) grid via the subpixel head — shapes, ranges, and grads
+    must match the unstemmed contract (incl. odd T/F not divisible by the
+    stride)."""
+    cfg = config.get_config("music_complex_44k")
+    cfg = cfg.replace(
+        data=cfg.data.__class__(**{**cfg.data.__dict__,
+                                   "segment_seconds": 0.1}),
+        model=cfg.model.__class__(**{**cfg.model.__dict__,
+                                     "g_stem_stride": stem,
+                                     "g_channels": (8, 16)}),
+    )
+    g = models.build_generator(cfg)
+    feats = _feats(cfg)
+    params = g.init(jax.random.PRNGKey(0), feats)
+    masks = g.apply(params, feats)
+    s, k = cfg.data.num_sources, cfg.dsp.n_bins
+    assert masks.shape == (2, s, cfg.num_frames, k, 2)
+    assert np.abs(np.asarray(masks)).max() <= 1.0 + 1e-6
+
+    def loss(p):
+        return jnp.sum(g.apply(p, feats) ** 2)
+
+    grads = jax.grad(loss)(params)
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert leaves and all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
+def test_conv_generator_decoder_slim():
+    """g_decoder_slim shrinks decoder channels but the mask contract
+    (shape/range) and gradient flow are unchanged."""
+    cfg = config.get_config("2src_toy_cpu")
+    cfg = cfg.replace(model=cfg.model.__class__(**{
+        **cfg.model.__dict__, "generator": "conv", "g_decoder_slim": 0.5}))
+    g = models.build_generator(cfg)
+    feats = _feats(cfg)
+    params = g.init(jax.random.PRNGKey(0), feats)
+    masks = g.apply(params, feats)
+    assert masks.shape == (2, cfg.data.num_sources, cfg.num_frames,
+                           cfg.dsp.n_bins)
+    m = np.asarray(masks)
+    assert m.min() >= 0.0 and m.max() <= 1.0
+
+    def loss(p):
+        return jnp.sum(g.apply(p, feats) ** 2)
+
+    leaves = jax.tree_util.tree_leaves(jax.grad(loss)(params))
+    assert leaves and all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
 def test_generator_grad_flow():
     cfg = config.get_config("2src_toy_cpu")
     g = models.build_generator(cfg)
