@@ -109,7 +109,13 @@ def main() -> int:
     sep_fn = _batched_separate_fn_for(cfg, mesh)
     perm0 = jnp.tile(jnp.arange(cfg.data.num_sources), (n_chunks, 1))
 
-    def run_batch():
+    # ONE jitted dispatch for the whole utterance: per-group Python-loop
+    # dispatches each pay a relay round-trip whose latency swings run to
+    # run (measured 2.4x), which is exactly the noise this benchmark
+    # exists to exclude.  Inlining the groups under a single jit leaves
+    # only device compute on the clock.
+    @jax.jit
+    def run_batch(g_params, groups_dev):
         outs = [sep_fn(g_params, groups_dev[gi])[..., :chunk]
                 for gi in range(n_groups)]
         est = jnp.concatenate(outs, axis=0)[:n_chunks]
@@ -118,12 +124,12 @@ def main() -> int:
         # _finalize_stream (gather/fade/OLA) is included.
         return _finalize_stream(est, perm0, stride, overlap)
 
-    full = run_batch()                               # warm-up compile
+    full = run_batch(g_params, groups_dev)           # warm-up compile
     float(full[0, 0])
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        full = run_batch()
+        full = run_batch(g_params, groups_dev)
         float(full[0, 0])
         times.append(time.perf_counter() - t0)
     med = float(np.median(times)) - fetch_ms / 1e3
