@@ -85,6 +85,11 @@ class ModelConfig:
     #                                G-side mirror of the D-stem trick (the
     #                                decoder at full (T, K) with fat channels
     #                                dominates the music-preset step).
+    g_stem_mode: str = "conv"      # "conv": strided stem conv (decimating —
+    #                                measured −3 dB SI-SDRi at the music
+    #                                geometry); "fold": lossless
+    #                                space-to-depth relayout of each
+    #                                (st, sf) cell into channels.
     g_decoder_slim: float = 1.0    # channel multiplier on the U-Net decoder
     #                                (ConvTranspose + post-concat convs).
     #                                The decoder carries ~85% of G's MACs at

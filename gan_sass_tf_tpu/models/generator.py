@@ -114,6 +114,11 @@ class ToyMLPGenerator(nn.Module):
 
 @register_generator("conv")
 def _conv(cfg):
+    if cfg.model.g_stem_mode not in ("conv", "fold"):
+        raise ValueError(
+            f"g_stem_mode must be 'conv' or 'fold', "
+            f"got {cfg.model.g_stem_mode!r}"
+        )
     return ConvUNetGenerator(
         num_sources=cfg.data.num_sources,
         n_bins=cfg.dsp.n_bins,
@@ -126,6 +131,7 @@ def _conv(cfg):
         dtype=jnp.dtype(cfg.model.compute_dtype),
         time_stride=cfg.model.g_time_stride,
         stem_stride=tuple(cfg.model.g_stem_stride),
+        stem_mode=cfg.model.g_stem_mode,
         decoder_slim=cfg.model.g_decoder_slim,
     )
 
@@ -148,6 +154,8 @@ class ConvUNetGenerator(nn.Module):
     stem_stride: tuple = (1, 1)  # (T, F) reduction before the U-Net; masks
     #                              restored to full resolution by a subpixel
     #                              head (ModelConfig.g_stem_stride)
+    stem_mode: str = "conv"    # "conv" (strided-conv decimation) or "fold"
+    #                            (lossless space-to-depth relayout)
     decoder_slim: float = 1.0  # decoder channel multiplier (g_decoder_slim)
 
     @nn.compact
@@ -157,13 +165,25 @@ class ConvUNetGenerator(nn.Module):
         x_full = x                       # full-res input (head skip, below)
         st, sf = self.stem_stride
         if (st, sf) != (1, 1):
-            # Grid-reducing stem (kernel = 2x stride, like the D stem): the
-            # whole encoder/decoder below runs at (T/st, F/sf) — at the
-            # music geometry the decoder at the full (T, 1025) grid carries
-            # ~85% of G's MACs, so this is a near-linear step-time lever.
-            x = nn.Conv(self.channels[0], (2 * st, 2 * sf),
-                        strides=(st, sf), dtype=self.dtype)(x)
-            x = nn.leaky_relu(x, self.leak)
+            # Grid-reducing stem: the whole encoder/decoder below runs at
+            # (T/st, F/sf) — at the music geometry the decoder at the full
+            # (T, 1025) grid carries ~85% of G's MACs, so this is a
+            # near-linear step-time lever.
+            if self.stem_mode == "fold":
+                # Space-to-depth: LOSSLESS relayout of the (st, sf) cell
+                # into channels (the strided-conv stem decimates — measured
+                # −3 dB SI-SDRi at the music geometry; folding discards
+                # nothing, the net just sees the same bins as depth).
+                pt, pf = -t_in % st, -f_in % sf
+                x = jnp.pad(x, ((0, 0), (0, pt), (0, pf), (0, 0)))
+                b, tp, fp, _ = x.shape
+                x = x.reshape(b, tp // st, st, fp // sf, sf, 1)
+                x = x.transpose(0, 1, 3, 2, 4, 5).reshape(
+                    b, tp // st, fp // sf, st * sf)
+            else:                        # "conv": kernel = 2x stride
+                x = nn.Conv(self.channels[0], (2 * st, 2 * sf),
+                            strides=(st, sf), dtype=self.dtype)(x)
+                x = nn.leaky_relu(x, self.leak)
         down = (2, 2) if self.time_stride else (1, 2)
         skips = []
         for c in self.channels:

@@ -46,8 +46,9 @@ def test_generator_shapes_and_ranges(cfg_name, gen_name):
             np.testing.assert_allclose(m.sum(axis=1), 1.0, atol=1e-5)
 
 
-@pytest.mark.parametrize("stem", [(1, 2), (2, 4)])
-def test_conv_generator_stem_stride(stem):
+@pytest.mark.parametrize("stem,mode", [((1, 2), "conv"), ((2, 4), "conv"),
+                                       ((1, 2), "fold"), ((2, 4), "fold")])
+def test_conv_generator_stem_stride(stem, mode):
     """g_stem_stride runs the U-Net on a reduced grid but masks come back at
     the full (T, K) grid via the subpixel head — shapes, ranges, and grads
     must match the unstemmed contract (incl. odd T/F not divisible by the
@@ -58,6 +59,7 @@ def test_conv_generator_stem_stride(stem):
                                    "segment_seconds": 0.1}),
         model=cfg.model.__class__(**{**cfg.model.__dict__,
                                      "g_stem_stride": stem,
+                                     "g_stem_mode": mode,
                                      "g_channels": (8, 16)}),
     )
     g = models.build_generator(cfg)
