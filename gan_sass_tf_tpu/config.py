@@ -130,7 +130,15 @@ class LossConfig:
     #                                re/im — phase-aware; REQUIRED for
     #                                complex masks to separate in the
     #                                waveform sense, since spec/mag leave
-    #                                phase unsupervised)
+    #                                phase unsupervised).  Composite
+    #                                domains join with "+" ("cspec+wav"):
+    #                                the recon term is the weighted sum of
+    #                                the per-domain losses; PIT matching
+    #                                uses the FIRST domain listed.
+    recon_domain_weights: Tuple[float, ...] = ()  # per-domain weights for a
+    #                                composite recon_domain; () = all 1.0.
+    #                                Length must match the number of "+"
+    #                                components when set.
     recon_weight: float = 100.0
     adv_weight: float = 1.0
     use_pit: bool = True           # permutation-invariant matching (BASELINE.json:9)

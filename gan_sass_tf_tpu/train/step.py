@@ -71,7 +71,20 @@ def build_train_step(cfg, g, d, axis_names: Tuple[str, ...] = (),
     # vectors — both live in the 'batch_stats' mutable collection.
     has_bn = cfg.model.d_norm in ("batch", "spectral")
 
-    need_est_spec = (lcfg.recon_domain in ("wav", "cspec")
+    # Composite reconstruction domains: "a+b" sums the per-domain losses
+    # (weights from recon_domain_weights); PIT matches in the first one.
+    domains = tuple(lcfg.recon_domain.split("+"))
+    for _dn in domains:
+        if _dn not in ("spec", "mag", "wav", "cspec"):
+            raise ValueError(f"unknown recon domain {_dn!r} "
+                             f"(in {lcfg.recon_domain!r})")
+    dweights = lcfg.recon_domain_weights or (1.0,) * len(domains)
+    if len(dweights) != len(domains):
+        raise ValueError(
+            f"recon_domain_weights has {len(dweights)} entries for "
+            f"{len(domains)} domains in {lcfg.recon_domain!r}")
+
+    need_est_spec = (any(d in ("wav", "cspec") for d in domains)
                      or dcfg.mask_type != "magnitude")
     # Dropout (ModelConfig.dropout): modules are deterministic unless
     # train=True AND a 'dropout' rng is threaded through apply().
@@ -186,14 +199,16 @@ def build_train_step(cfg, g, d, axis_names: Tuple[str, ...] = (),
         mag_mix = mix_out["mag"]
         mix_logmag = mix_out["logmag"]
         feats = mix_out["logmel"] if dcfg.feature == "logmel" else mix_logmag
-        mag_domain = lcfg.recon_domain == "mag"
-        cspec_domain = lcfg.recon_domain == "cspec"
+        mag_domain = "mag" in domains
+        cspec_domain = "cspec" in domains
+        wav_domain = "wav" in domains
+        mag_primary = domains[0] == "mag"   # PIT matches in the 1st domain
         tgt_emit = (("mag", "logmag") if mag_domain else ("logmag",)) \
             + (("spec",) if cspec_domain else ())
         tgt_out = ops.stft_features(scaled, dcfg, emit=tgt_emit,
                                     backend=dcfg.backend)
         tgt_logmag = tgt_out["logmag"]
-        tgt_recon = tgt_out["mag"] if mag_domain else tgt_logmag
+        tgt_mag = tgt_out.get("mag")
         tgt_spec = tgt_out.get("spec")
 
         # ONE G forward per step, shared between the D updates (via
@@ -207,9 +222,9 @@ def build_train_step(cfg, g, d, axis_names: Tuple[str, ...] = (),
             _, est_spec, est_mag, est_logmag = g_forward(
                 g_params, feats, spec_mix, mag_mix, train=True, rng=rng_g)
             est_logmag_sg = jax.lax.stop_gradient(est_logmag)
-            est_match = (jax.lax.stop_gradient(est_mag) if mag_domain
+            est_match = (jax.lax.stop_gradient(est_mag) if mag_primary
                          else est_logmag_sg)
-            tgt_match = tgt_recon
+            tgt_match = tgt_mag if mag_primary else tgt_logmag
             if lcfg.use_pit:
                 # Match in the reconstruction domain.  The permutation is
                 # argmin'd once per step (no grad — it is piecewise-constant
@@ -222,21 +237,18 @@ def build_train_step(cfg, g, d, axis_names: Tuple[str, ...] = (),
                               else lcfg.recon_loss)
                 perm = pooled_match_perm(est_match, tgt_match, match_kind)
                 tgt_logmag_aligned = align_to_perm(tgt_logmag, perm)
-                tgt_recon_aligned = (
-                    align_to_perm(tgt_recon, perm) if mag_domain
-                    else tgt_logmag_aligned
+                tgt_mag_aligned = (
+                    align_to_perm(tgt_mag, perm) if mag_domain else None
                 )
                 scaled_aligned = (
-                    align_to_perm(scaled, perm)
-                    if lcfg.recon_domain == "wav" else scaled
+                    align_to_perm(scaled, perm) if wav_domain else scaled
                 )
                 tgt_spec_aligned = (
                     align_to_perm(tgt_spec, perm) if cspec_domain else None
                 )
             else:
-                tgt_logmag_aligned = tgt_recon_aligned = tgt_logmag
-                if mag_domain:
-                    tgt_recon_aligned = tgt_recon
+                tgt_logmag_aligned = tgt_logmag
+                tgt_mag_aligned = tgt_mag
                 scaled_aligned = scaled
                 tgt_spec_aligned = tgt_spec
 
@@ -270,36 +282,42 @@ def build_train_step(cfg, g, d, axis_names: Tuple[str, ...] = (),
             # "mag" = linear magnitude (does not over-weight silent bins);
             # "wav" = waveform through the iSTFT VJP (supports si_sdr loss);
             # "cspec" = complex-spectrum (re, im) — phase-aware, the right
-            # domain for complex masks (BASELINE.json:10).
-            if lcfg.recon_domain == "wav":
-                est_r = ops.istft(est_spec, n_fft, hop, window=dcfg.window,
-                                  backend=dcfg.backend,
-                                  win_length=dcfg.win_length)
-                tgt_r = scaled_aligned[..., : est_r.shape[-1]]
-                if lcfg.recon_loss == "si_sdr":
-                    from gan_sass_tf_tpu.losses import si_sdr as _si_sdr
+            # domain for complex masks (BASELINE.json:10).  Composite
+            # ("cspec+wav") sums the weighted per-domain losses; si_sdr as
+            # the recon kind applies to the wav term, the spectral terms
+            # fall back to L1 (same rule as the PIT matching statistic).
+            spec_kind = ("l1" if lcfg.recon_loss == "si_sdr"
+                         else lcfg.recon_loss)
 
-                    rec = -jnp.mean(_si_sdr(est_r, tgt_r))
-                else:
-                    rec = recon_loss(est_r, tgt_r, lcfg.recon_loss)
-            elif cspec_domain:
-                # Complex-spectrum L1/MSE on (re, im): the phase-AWARE
-                # reconstruction domain — with complex masks, spec/mag
-                # domains leave the estimated phase completely
-                # unsupervised (SI-SDR is phase-sensitive, so such a model
-                # never separates in the waveform sense).
-                est_ri = jnp.stack(
-                    [jnp.real(est_spec), jnp.imag(est_spec)], axis=-1)
-                tgt_ri = jnp.stack(
-                    [jnp.real(tgt_spec_aligned),
-                     jnp.imag(tgt_spec_aligned)], axis=-1)
-                rec = recon_loss(est_ri, tgt_ri, lcfg.recon_loss)
-            else:
-                if mag_domain:
-                    est_r, tgt_r = est_mag, tgt_recon_aligned
-                else:
-                    est_r, tgt_r = est_logmag, tgt_recon_aligned
-                rec = recon_loss(est_r, tgt_r, lcfg.recon_loss)
+            def domain_rec(dname):
+                if dname == "wav":
+                    est_r = ops.istft(est_spec, n_fft, hop,
+                                      window=dcfg.window,
+                                      backend=dcfg.backend,
+                                      win_length=dcfg.win_length)
+                    tgt_r = scaled_aligned[..., : est_r.shape[-1]]
+                    if lcfg.recon_loss == "si_sdr":
+                        from gan_sass_tf_tpu.losses import si_sdr as _si_sdr
+
+                        return -jnp.mean(_si_sdr(est_r, tgt_r))
+                    return recon_loss(est_r, tgt_r, lcfg.recon_loss)
+                if dname == "cspec":
+                    # (re, im) L1/MSE: phase-AWARE — with complex masks,
+                    # spec/mag domains leave the estimated phase completely
+                    # unsupervised (SI-SDR is phase-sensitive, so such a
+                    # model never separates in the waveform sense).
+                    est_ri = jnp.stack(
+                        [jnp.real(est_spec), jnp.imag(est_spec)], axis=-1)
+                    tgt_ri = jnp.stack(
+                        [jnp.real(tgt_spec_aligned),
+                         jnp.imag(tgt_spec_aligned)], axis=-1)
+                    return recon_loss(est_ri, tgt_ri, spec_kind)
+                if dname == "mag":
+                    return recon_loss(est_mag, tgt_mag_aligned, spec_kind)
+                return recon_loss(est_logmag, tgt_logmag_aligned, spec_kind)
+
+            rec = sum(w * domain_rec(dn)
+                      for w, dn in zip(dweights, domains))
             # Adversarial term needs the differentiable est_logmag — the
             # only pair tensor rebuilt (its fake half carries the grad).
             fake_logits, _ = d_apply(

@@ -195,6 +195,58 @@ def test_wav_domain_recon_training():
     assert history[-1]["g_recon"] < history[0]["g_recon"] * 2  # sane scale
 
 
+def _tiny_complex_cfg():
+    base = config.get_config("music_complex_44k")
+    return base.replace(
+        dsp=base.dsp.__class__(**{**base.dsp.__dict__, "sample_rate": 8000,
+                                  "n_fft": 128, "hop_length": 32,
+                                  "win_length": 128}),
+        train=base.train.__class__(**{**base.train.__dict__,
+                                      "batch_size": 8, "log_every": 1}),
+        data=base.data.__class__(**{**base.data.__dict__,
+                                    "segment_seconds": 0.25}),
+        model=base.model.__class__(**{**base.model.__dict__,
+                                      "g_channels": (8,),
+                                      "d_channels": (8, 16),
+                                      "compute_dtype": "float32"}),
+    )
+
+
+def test_composite_recon_domain_is_weighted_sum():
+    """recon_domain="cspec+wav": the combined recon term equals the weighted
+    sum of the single-domain terms from identical init/rng/data (the recon
+    loss does not depend on the D update, so one step suffices)."""
+    def one_step_recon(domain, weights=()):
+        base = _tiny_complex_cfg()
+        cfg = base.replace(
+            loss=base.loss.__class__(**{**base.loss.__dict__,
+                                        "recon_domain": domain,
+                                        "recon_domain_weights": weights}),
+        )
+        history = []
+        Experiment(cfg, workdir=None).train(
+            num_steps=1, log_fn=lambda s, m: history.append(dict(m)))
+        return history[0]["g_recon"]
+
+    a = one_step_recon("cspec")
+    b = one_step_recon("wav")
+    ab = one_step_recon("cspec+wav", (0.5, 2.0))
+    np.testing.assert_allclose(ab, 0.5 * a + 2.0 * b, rtol=1e-4)
+
+
+def test_composite_recon_domain_validation():
+    base = _tiny_complex_cfg()
+    bad = base.replace(loss=base.loss.__class__(**{
+        **base.loss.__dict__, "recon_domain": "cspec+phase"}))
+    with pytest.raises(ValueError, match="unknown recon domain"):
+        Experiment(bad, workdir=None)
+    bad2 = base.replace(loss=base.loss.__class__(**{
+        **base.loss.__dict__, "recon_domain": "cspec+wav",
+        "recon_domain_weights": (1.0,)}))
+    with pytest.raises(ValueError, match="recon_domain_weights"):
+        Experiment(bad2, workdir=None)
+
+
 def test_mag_domain_training():
     """Linear-magnitude reconstruction domain."""
     base = _tiny_cfg()
