@@ -35,7 +35,12 @@ def _apply_overrides(cfg, overrides):
         if typ is bool:
             val = raw.lower() in ("1", "true", "yes")
         elif typ is tuple:
-            val = tuple(int(x) for x in raw.split(","))
+            def _elem(x):
+                try:
+                    return int(x)
+                except ValueError:
+                    return float(x)
+            val = tuple(_elem(x) for x in raw.split(","))
         elif old is None:
             val = raw
         else:

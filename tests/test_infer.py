@@ -119,6 +119,9 @@ def test_cli_configs_and_overrides(capsys):
     assert cfg.train.batch_size == 16
     assert cfg.dsp.feature == "logmel"
     assert cfg.model.g_channels == (8, 16)
+    cfg = cli._apply_overrides(
+        cfg, ["loss.recon_domain_weights=1.0,0.2"])   # float-tuple fields
+    assert cfg.loss.recon_domain_weights == (1.0, 0.2)
     with pytest.raises(AttributeError):
         cli._apply_overrides(cfg, ["train.nope=1"])
 
