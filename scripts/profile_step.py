@@ -6,7 +6,7 @@ model component (the round-2 optimization workflow, see CLAUDE.md):
 3. join fusion/op names against the compiled HLO's metadata={op_name=...}
    to bucket time into G fwd/bwd, D fwd/bwd, DSP, PIT, other.
 
-Usage: python scripts/profile_step.py [preset] [batch_size]
+Usage: python scripts/profile_step.py [preset] [batch_size] [--set k=v ...]
 Prints the per-bucket ms/step and the top attributed ops.
 """
 
@@ -34,10 +34,22 @@ def main() -> None:
     from gan_sass_tf_tpu import config
     from gan_sass_tf_tpu.train import Experiment
 
-    preset = sys.argv[1] if len(sys.argv) > 1 else "wsj0_logmel"
-    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+    from gan_sass_tf_tpu.cli import _apply_overrides
 
-    cfg = config.get_config(preset)
+    argv, overrides = sys.argv[1:], []
+    i = 0
+    pos = []
+    while i < len(argv):
+        if argv[i] == "--set" and i + 1 < len(argv):
+            overrides.append(argv[i + 1])
+            i += 2
+        else:
+            pos.append(argv[i])
+            i += 1
+    preset = pos[0] if pos else "wsj0_logmel"
+    batch = int(pos[1]) if len(pos) > 1 else 128
+
+    cfg = _apply_overrides(config.get_config(preset), overrides)
     cfg = cfg.replace(
         data=cfg.data.__class__(**{**cfg.data.__dict__,
                                    "dataset": "synthetic"}),
