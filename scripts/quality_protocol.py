@@ -40,7 +40,9 @@ def protocol_config(name: str, hard: bool, overrides=()):
     if hard:
         data_kw.update(f0_mode="shared", num_noise=1, snr_db=10.0)
     cfg = cfg.replace(
-        data=dataclasses.replace(cfg.data, **data_kw)
+        data=dataclasses.replace(cfg.data, **data_kw),
+        # Fit whatever devices exist (presets may pin a v5e-8 mesh).
+        mesh=dataclasses.replace(cfg.mesh, data_axis_size=-1),
     )
     return _apply_overrides(cfg, list(overrides))
 
