@@ -207,9 +207,11 @@ class ConvUNetGenerator(nn.Module):
             x = nn.Dropout(self.dropout, deterministic=not train)(x)
         if (st, sf) != (1, 1):
             # Subpixel head: restore the full (T, F) grid from the stem-
-            # reduced one — a 1x1 conv emits st*sf sub-positions per cell
-            # (cheap: full-grid channels never exceed channels[0]).
-            c0 = self.channels[0]
+            # reduced one — a 1x1 conv emits st*sf sub-positions per cell.
+            # Full-grid channels are capped at 32 (the baseline head width):
+            # full-grid tensors dominate HBM traffic, so a wide reduced-grid
+            # net must not widen the restored grid with it.
+            c0 = min(self.channels[0], 32)
             x = nn.Conv(c0 * st * sf, (1, 1), dtype=self.dtype)(x)
             b, t1, f1, _ = x.shape
             x = x.reshape(b, t1, f1, st, sf, c0)
