@@ -187,6 +187,12 @@ class DataConfig:
     #                                only by timbre/modulation — the hard
     #                                quality protocol (VERDICT r2 item 2:
     #                                keeps oracle headroom above training)
+    eval_split: str = "eval"       # dataset split Experiment evaluates on:
+    #                                "eval" = held-out latents/speakers
+    #                                (generalization), "train" = the training
+    #                                distribution (fit), "all" = no split —
+    #                                A/B'ing these separates generalization
+    #                                gaps from training regressions.
     slot_profiles: Tuple[str, ...] = ()  # per-slot synthetic signal class:
     #                                "harmonic" (default), "vocal" (vibrato
     #                                harmonic stack), "accomp" (chords +

@@ -131,11 +131,11 @@ class Experiment:
         self.dataset = None if self._use_bank else make_dataset(
             cfg, seed=cfg.train.seed
         )
-        # split="eval" holds out latent pitch bins (synthetic) / speakers
-        # (wav_dir) never seen in training — genuine generalization eval,
-        # not the train distribution at a different seed.
+        # split="eval" (default) holds out latent pitch bins (synthetic) /
+        # speakers (wav_dir) never seen in training — genuine generalization
+        # eval, not the train distribution at a different seed.
         self.eval_dataset = make_dataset(
-            cfg, seed=cfg.train.seed + 9999, split="eval"
+            cfg, seed=cfg.train.seed + 9999, split=cfg.data.eval_split
         )
         self._bank = None
         if self._use_bank:
@@ -356,11 +356,14 @@ class Experiment:
             self._ckpt_mngr.wait_until_finished()
         return last_metrics
 
-    def evaluate(self, num_batches: int = 4) -> Dict[str, float]:
+    def evaluate(self, num_batches: int = 4,
+                 dataset=None) -> Dict[str, float]:
+        """SI-SDR eval on `dataset` (defaults to the held-out eval split)."""
+        dataset = dataset if dataset is not None else self.eval_dataset
         repl = replicated_sharding(self.mesh)
         acc: Dict[str, float] = {}
         for i in range(num_batches):
-            sources = self.eval_dataset.batch()
+            sources = dataset.batch()
             sources = jax.device_put(sources, self._batch_sharding)
             rng = jax.device_put(
                 jax.random.PRNGKey(10_000 + i), repl

@@ -95,11 +95,19 @@ def main(argv) -> int:
     metrics = exp.train(num_steps=steps, log_fn=log)
     ev = exp.evaluate(num_batches=8)
     bound = oracle_bound_on_eval(exp, num_batches=8)
+    # Train-distribution eval alongside the held-out one: the gap between
+    # them is the generalization gap, reported per row for free.
+    from gan_sass_tf_tpu.data import make_dataset
+
+    tr_ds = make_dataset(cfg, seed=cfg.train.seed + 4242, split="train")
+    ev_tr = exp.evaluate(num_batches=8, dataset=tr_ds)
     out = {
         "preset": preset,
         "hard": hard,
         "steps": steps,
         "si_sdr_improvement": round(ev["si_sdr_improvement"], 2),
+        "si_sdr_improvement_train_dist": round(
+            ev_tr["si_sdr_improvement"], 2),
         "oracle_bound": round(bound, 2),
         "headroom": round(bound - ev["si_sdr_improvement"], 2),
         "d_loss": round(metrics.get("d_loss", float("nan")), 4),

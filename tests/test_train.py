@@ -58,6 +58,18 @@ def test_eval_step_reports_si_sdr():
     exp = Experiment(cfg, workdir=None)
     out = exp.evaluate(num_batches=1)
     assert set(out) == {"si_sdr", "si_sdr_mix", "si_sdr_improvement"}
+
+
+def test_eval_split_knob_and_dataset_arg():
+    """data.eval_split selects the split Experiment evaluates on, and
+    evaluate(dataset=...) overrides it per call (the A/B that separates
+    generalization gaps from training regressions)."""
+    cfg = _tiny_cfg(eval_split="train")
+    exp = Experiment(cfg, workdir=None)
+    assert exp.eval_dataset.split == "train"
+    ds_all = make_dataset(cfg, seed=1, split="all")
+    out = exp.evaluate(num_batches=1, dataset=ds_all)
+    assert np.isfinite(out["si_sdr_improvement"])
     assert np.isfinite(out["si_sdr"])
 
 
