@@ -156,10 +156,10 @@ def main(argv=None) -> int:
                 print(f"error: wav sr {sr} != config sr {cfg.dsp.sample_rate}")
                 return 1
             if args.streaming_mode == "scan":
-                srcs = separate_streaming_scan(exp.state.g_params, cfg, wav)
+                srcs = separate_streaming_scan(exp.eval_g_params, cfg, wav)
             else:
                 srcs = separate_streaming(
-                    exp.state.g_params, cfg, wav, mesh=exp.mesh
+                    exp.eval_g_params, cfg, wav, mesh=exp.mesh
                 )
             os.makedirs(args.output_dir, exist_ok=True)
             stem = os.path.splitext(os.path.basename(args.input))[0]
@@ -171,7 +171,7 @@ def main(argv=None) -> int:
             from gan_sass_tf_tpu.infer import separate_file
 
             paths = separate_file(
-                exp.state.g_params, cfg, args.input, args.output_dir,
+                exp.eval_g_params, cfg, args.input, args.output_dir,
                 separate_fn=None,
             )
             for p in paths:

@@ -158,11 +158,19 @@ class TrainConfig:
     #                                overhead; logging/ckpt cadence rounds to
     #                                dispatch boundaries
     grad_clip: float = 5.0
+    g_ema: float = 0.0             # EMA decay for a shadow copy of G params
+    #                                (0 disables).  Standard GAN practice:
+    #                                eval/inference use the averaged weights,
+    #                                which smooth the G/D oscillation noise.
     total_steps: int = 100_000
     log_every: int = 50
     ckpt_every: int = 1000
     eval_every: int = 1000
     seed: int = 0
+
+    def __post_init__(self):
+        if not 0.0 <= self.g_ema < 1.0:
+            raise ValueError(f"g_ema must be in [0, 1), got {self.g_ema}")
 
 
 @dataclass(frozen=True)

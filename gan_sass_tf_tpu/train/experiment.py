@@ -356,6 +356,13 @@ class Experiment:
             self._ckpt_mngr.wait_until_finished()
         return last_metrics
 
+    @property
+    def eval_g_params(self):
+        """G params for eval/inference: the EMA shadow when train.g_ema > 0
+        (averaged weights integrate out G/D oscillation), else the live ones."""
+        ema = self.state.g_ema_params
+        return ema if ema is not None else self.state.g_params
+
     def evaluate(self, num_batches: int = 4,
                  dataset=None) -> Dict[str, float]:
         """SI-SDR eval on `dataset` (defaults to the held-out eval split)."""
@@ -368,7 +375,7 @@ class Experiment:
             rng = jax.device_put(
                 jax.random.PRNGKey(10_000 + i), repl
             )
-            out = self._eval_step(self.state.g_params, sources, rng)
+            out = self._eval_step(self.eval_g_params, sources, rng)
             for k, v in out.items():
                 acc[k] = acc.get(k, 0.0) + float(v) / num_batches
         return acc

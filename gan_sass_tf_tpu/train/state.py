@@ -23,6 +23,9 @@ class TrainState:
     d_batch_stats: Any           # {} when the D norm is stateless
     g_opt_state: Any
     d_opt_state: Any
+    g_ema_params: Any = None     # EMA shadow of g_params (train.g_ema > 0);
+    #                              None when disabled — a leafless pytree
+    #                              node, so checkpoints/sharding ignore it
 
 
 def make_optimizers(cfg) -> Tuple[optax.GradientTransformation, optax.GradientTransformation]:
@@ -58,4 +61,7 @@ def create_train_state(cfg, g, d, rng: jax.Array) -> TrainState:
         d_batch_stats=d_vars.get("batch_stats", {}),
         g_opt_state=g_tx.init(g_params),
         d_opt_state=d_tx.init(d_params),
+        # EMA starts AT the init point (not zeros): unbiased from step 0.
+        g_ema_params=(jax.tree_util.tree_map(jnp.copy, g_params)
+                      if cfg.train.g_ema > 0.0 else None),
     )

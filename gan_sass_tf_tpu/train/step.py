@@ -338,6 +338,20 @@ def build_train_step(cfg, g, d, axis_names: Tuple[str, ...] = (),
         g_params = jax.tree_util.tree_map(
             lambda p, u: p + u, state.g_params, g_updates
         )
+        # EMA shadow of G (train.g_ema): eval/inference read the averaged
+        # weights, which integrate out the G/D oscillation.  Warm-up ramp
+        # min(decay, (1+t)/(10+t)) so early steps track the live params
+        # instead of the random init (t is the POST-update step count).
+        ema = cfg.train.g_ema
+        if ema > 0.0:
+            t = (state.step + 1).astype(jnp.float32)
+            decay = jnp.minimum(jnp.float32(ema), (1.0 + t) / (10.0 + t))
+            g_ema = jax.tree_util.tree_map(
+                lambda e, p: e * decay + p.astype(e.dtype) * (1.0 - decay),
+                state.g_ema_params, g_params,
+            )
+        else:
+            g_ema = state.g_ema_params
 
         new_state = TrainState(
             step=state.step + 1,
@@ -346,6 +360,7 @@ def build_train_step(cfg, g, d, axis_names: Tuple[str, ...] = (),
             d_batch_stats=d_stats,
             g_opt_state=g_opt,
             d_opt_state=d_opt,
+            g_ema_params=g_ema,
         )
         metrics = _pmean({
             "d_loss": d_loss,

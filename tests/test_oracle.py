@@ -42,13 +42,41 @@ def test_oracle_irm_bound_strongly_positive():
 def test_hard_protocol_creates_headroom():
     """Shared-f0 (+noise) tasks must have a LOWER oracle ceiling than the
     disjoint-band task — T-F overlap is real — while remaining positive
-    (the task is still separable in principle)."""
+    (the task is still separable in principle).  The noise ordering is
+    asserted on the IRM (softmax) oracle: the PSF oracle suppresses noise
+    near-optimally, so ITS ceiling barely moves with noise (by design)."""
     easy = _bound(_cfg())
     hard = _bound(_cfg(f0_mode="shared"))
-    harder = _bound(_cfg(f0_mode="shared", num_noise=1, snr_db=10.0))
     assert hard < easy - 2.0, (easy, hard)
-    assert harder < hard, (hard, harder)
-    assert harder > 3.0
+
+    def irm(cfg):
+        return _bound(cfg.replace(dsp=cfg.dsp.__class__(
+            **{**cfg.dsp.__dict__, "mask_activation": "softmax"})))
+
+    hard_irm = irm(_cfg(f0_mode="shared"))
+    harder_irm = irm(_cfg(f0_mode="shared", num_noise=1, snr_db=10.0))
+    assert harder_irm < hard_irm, (hard_irm, harder_irm)
+    assert harder_irm > 3.0
+
+
+def test_psf_oracle_dominates_irm_on_noisy_tasks(rng):
+    """Sigmoid-head magnitude oracle is the clipped phase-sensitive filter:
+    it must dominate the source-normalized IRM (which is NOT a bound once
+    noise enters the mixture — round-3 measured a trained model beating it),
+    and stay inside the head's [0, 1] range."""
+    cfg = _cfg(f0_mode="shared", num_noise=1, snr_db=10.0)
+    psf = _bound(cfg)
+    irm = _bound(cfg.replace(dsp=cfg.dsp.__class__(
+        **{**cfg.dsp.__dict__, "mask_activation": "softmax"})))
+    assert psf > irm + 2.0, (psf, irm)
+
+    spec_srcs = jnp.asarray(
+        (rng.standard_normal((2, 2, 6, 9))
+         + 1j * rng.standard_normal((2, 2, 6, 9))).astype(np.complex64))
+    spec_mix = spec_srcs.sum(axis=1)
+    m = oracle_masks(spec_mix, spec_srcs, "magnitude",
+                     mask_activation="sigmoid")
+    assert float(m.min()) >= 0.0 and float(m.max()) <= 1.0
 
 
 def test_complex_oracle_beats_magnitude_on_overlap():
@@ -79,7 +107,8 @@ def test_oracle_magnitude_masks_sum_to_one(rng):
          + 1j * rng.standard_normal((2, 3, 6, 9))).astype(np.complex64)
     )
     spec_mix = spec_srcs.sum(axis=1)
-    m = oracle_masks(spec_mix, spec_srcs, "magnitude")
+    m = oracle_masks(spec_mix, spec_srcs, "magnitude",
+                     mask_activation="softmax")
     np.testing.assert_allclose(np.asarray(m.sum(axis=1)), 1.0, atol=1e-3)
     assert float(m.min()) >= 0.0
 

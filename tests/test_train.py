@@ -86,6 +86,41 @@ def test_alternating_update_changes_both_nets():
     assert int(exp.state.step) == 1
 
 
+def test_g_ema_tracks_params_and_drives_eval():
+    """train.g_ema keeps an EMA shadow of G params: exact one-step update
+    (warm-up-ramped decay), eval_g_params returns it, and g_ema=0 disables
+    it entirely (None leafless node — checkpoint shape unchanged)."""
+    cfg = _tiny_cfg()
+    cfg = cfg.replace(
+        train=cfg.train.__class__(**{**cfg.train.__dict__, "g_ema": 0.99}))
+    exp = Experiment(cfg, workdir=None)
+    g0 = jax.tree_util.tree_map(np.asarray, exp.state.g_params)
+    exp.train(num_steps=1)
+    g1 = jax.tree_util.tree_leaves(exp.state.g_params)
+    ema = jax.tree_util.tree_leaves(exp.state.g_ema_params)
+    # decay at t=1 is min(0.99, 2/11)
+    decay = 2.0 / 11.0
+    for e, p1, p0 in zip(ema, g1, jax.tree_util.tree_leaves(g0)):
+        expect = p0 * decay + np.asarray(p1) * (1.0 - decay)
+        np.testing.assert_allclose(np.asarray(e), expect, rtol=1e-5,
+                                   atol=1e-6)
+    # eval consumes the EMA weights.
+    assert exp.eval_g_params is exp.state.g_ema_params
+    out = exp.evaluate(num_batches=1)
+    assert np.isfinite(out["si_sdr_improvement"])
+
+    cfg_off = _tiny_cfg()
+    exp_off = Experiment(cfg_off, workdir=None)
+    assert exp_off.state.g_ema_params is None
+    assert exp_off.eval_g_params is exp_off.state.g_params
+
+
+def test_g_ema_validation():
+    cfg = _tiny_cfg()
+    with pytest.raises(ValueError, match="g_ema"):
+        cfg.train.__class__(**{**cfg.train.__dict__, "g_ema": 1.0})
+
+
 def test_debug_leaks_smoke():
     """SURVEY §5.2: the jax.checking_leaks sanitizer is wired through
     Experiment(debug_leaks=True) and a clean step passes under it."""
