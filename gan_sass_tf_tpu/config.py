@@ -90,6 +90,13 @@ class ModelConfig:
     #                                geometry); "fold": lossless
     #                                space-to-depth relayout of each
     #                                (st, sf) cell into channels.
+    g_head_mode: str = "dense"     # mask head when F_feat != n_bins (mel
+    #                                frontends): "dense" = learned
+    #                                per-position mel→bin map (memorizes
+    #                                trained pitch positions — measured
+    #                                12.5 dB held-out gap on wsj0_logmel);
+    #                                "interp" = FIXED mel-warp resample +
+    #                                1x1 conv (position-free weights).
     g_decoder_slim: float = 1.0    # channel multiplier on the U-Net decoder
     #                                (ConvTranspose + post-concat convs).
     #                                The decoder carries ~85% of G's MACs at

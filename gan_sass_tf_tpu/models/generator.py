@@ -49,12 +49,31 @@ class MaskHead(nn.Module):
     mask_activation: str    # "sigmoid" | "softmax"
     feat_is_linear: bool    # True when F_feat == n_bins (1x1 conv head ok)
     dtype: jnp.dtype = jnp.float32       # compute dtype (bf16 speed path)
+    head_mode: str = "dense"  # non-linear-grid heads: "dense" (learned
+    #                           per-position map) or "interp" (FIXED mel-warp
+    #                           resample to the bin grid + 1x1 conv — shift-
+    #                           equivariant, cannot memorize bin positions)
+    sample_rate: float = 0.0  # required by "interp" (mel-center geometry)
 
     @nn.compact
     def __call__(self, h: jax.Array) -> jax.Array:
         # h: (B, T, F_feat, C) or (B, T, D)
         s, mc = self.num_sources, mask_channels(self.mask_type)
         if h.ndim == 4 and self.feat_is_linear and h.shape[2] == self.n_bins:
+            out = nn.Conv(s * mc, (1, 1), dtype=self.dtype)(h)
+            out = out.reshape(*out.shape[:3], s, mc)           # (B,T,K,S,mc)
+            out = jnp.moveaxis(out, 3, 1)                       # (B,S,T,K,mc)
+        elif h.ndim == 4 and self.head_mode == "interp":
+            # Fixed mel→linear warp (compile-time constant, one MXU matmul)
+            # then a 1x1 conv shared across bins: every learned weight is
+            # position-free, so held-out pitches land on the same function
+            # trained pitches did (the Dense head below measured a 12.5 dB
+            # held-out generalization gap on wsj0_logmel — round 3).
+            from gan_sass_tf_tpu.dsp.features import mel_interp_matrix
+
+            w = jnp.asarray(mel_interp_matrix(
+                h.shape[2], self.n_bins, self.sample_rate), self.dtype)
+            h = jnp.einsum("btmc,km->btkc", h.astype(self.dtype), w)
             out = nn.Conv(s * mc, (1, 1), dtype=self.dtype)(h)
             out = out.reshape(*out.shape[:3], s, mc)           # (B,T,K,S,mc)
             out = jnp.moveaxis(out, 3, 1)                       # (B,S,T,K,mc)
@@ -119,6 +138,11 @@ def _conv(cfg):
             f"g_stem_mode must be 'conv' or 'fold', "
             f"got {cfg.model.g_stem_mode!r}"
         )
+    if cfg.model.g_head_mode not in ("dense", "interp"):
+        raise ValueError(
+            f"g_head_mode must be 'dense' or 'interp', "
+            f"got {cfg.model.g_head_mode!r}"
+        )
     return ConvUNetGenerator(
         num_sources=cfg.data.num_sources,
         n_bins=cfg.dsp.n_bins,
@@ -133,6 +157,8 @@ def _conv(cfg):
         stem_stride=tuple(cfg.model.g_stem_stride),
         stem_mode=cfg.model.g_stem_mode,
         decoder_slim=cfg.model.g_decoder_slim,
+        head_mode=cfg.model.g_head_mode,
+        sample_rate=float(cfg.dsp.sample_rate),
     )
 
 
@@ -157,6 +183,8 @@ class ConvUNetGenerator(nn.Module):
     stem_mode: str = "conv"    # "conv" (strided-conv decimation) or "fold"
     #                            (lossless space-to-depth relayout)
     decoder_slim: float = 1.0  # decoder channel multiplier (g_decoder_slim)
+    head_mode: str = "dense"   # mel-feature mask head (ModelConfig.g_head_mode)
+    sample_rate: float = 0.0
 
     @nn.compact
     def __call__(self, feats: jax.Array, train: bool = False) -> jax.Array:
@@ -229,6 +257,8 @@ class ConvUNetGenerator(nn.Module):
             self.mask_activation,
             feat_is_linear=(self.feature_dim == self.n_bins),
             dtype=self.dtype,
+            head_mode=self.head_mode,
+            sample_rate=self.sample_rate,
         )(x)
 
 

@@ -46,6 +46,62 @@ def test_generator_shapes_and_ranges(cfg_name, gen_name):
             np.testing.assert_allclose(m.sum(axis=1), 1.0, atol=1e-5)
 
 
+def test_interp_head_is_position_free():
+    """g_head_mode='interp' (mel frontends): masks come from a FIXED mel-warp
+    resample + 1x1 conv — correct shapes/ranges, far fewer params than the
+    dense head, and no parameter carries a per-output-bin axis (the dense
+    head's n_bins-sized dims are what memorize trained pitch positions)."""
+    cfg = config.get_config("wsj0_logmel")
+    k = cfg.dsp.n_bins
+
+    def build(head_mode):
+        c = cfg.replace(model=cfg.model.__class__(**{
+            **cfg.model.__dict__, "g_head_mode": head_mode}))
+        g = models.build_generator(c)
+        feats = _feats(c)
+        params = g.init(jax.random.PRNGKey(0), feats)
+        return g, feats, params
+
+    g, feats, params = build("interp")
+    masks = g.apply(params, feats)
+    s = cfg.data.num_sources
+    assert masks.shape == (2, s, cfg.num_frames, k)
+    m = np.asarray(masks)
+    assert m.min() >= 0.0 and m.max() <= 1.0
+    n_interp = sum(np.size(p) for p in jax.tree_util.tree_leaves(params))
+    # No parameter axis reaches n_bins: nothing learned is per-output-bin.
+    assert all(max(np.shape(p)) < k
+               for p in jax.tree_util.tree_leaves(params))
+
+    _, _, params_d = build("dense")
+    n_dense = sum(np.size(p) for p in jax.tree_util.tree_leaves(params_d))
+    # The dense head's (F·C, S·n_bins) matrix alone outweighs the whole
+    # shared trunk; the interp head replaces it with a (C, S) 1x1 conv.
+    assert n_interp < 0.6 * n_dense, (n_interp, n_dense)
+
+
+def test_mel_interp_matrix_partition_of_unity():
+    """Each linear bin's interp weights sum to 1 and read only adjacent mel
+    channels (2-tap), so the warp is exact for constant-in-mel features."""
+    from gan_sass_tf_tpu.dsp.features import mel_interp_matrix
+
+    w = mel_interp_matrix(80, 257, 8000.0)
+    assert w.shape == (257, 80)
+    np.testing.assert_allclose(w.sum(axis=1), 1.0, atol=1e-6)
+    assert (np.count_nonzero(w, axis=1) <= 2).all()
+    # monotone: the weighted mel-index per bin is non-decreasing
+    idx = w @ np.arange(80)
+    assert (np.diff(idx) >= -1e-6).all()
+
+
+def test_interp_head_requires_known_mode():
+    cfg = config.get_config("wsj0_logmel")
+    bad = cfg.replace(model=cfg.model.__class__(**{
+        **cfg.model.__dict__, "g_head_mode": "nope"}))
+    with pytest.raises(ValueError, match="g_head_mode"):
+        models.build_generator(bad)
+
+
 @pytest.mark.parametrize("stem,mode", [((1, 2), "conv"), ((2, 4), "conv"),
                                        ((1, 2), "fold"), ((2, 4), "fold")])
 def test_conv_generator_stem_stride(stem, mode):
