@@ -54,11 +54,15 @@ class MaskHead(nn.Module):
     #                           resample to the bin grid + 1x1 conv — shift-
     #                           equivariant, cannot memorize bin positions)
     sample_rate: float = 0.0  # required by "interp" (mel-center geometry)
+    noise_slot: bool = False  # softmax only: S+1 slots, last one discarded —
+    #                           sink for mixture noise (DSPConfig.mask_noise_slot)
 
     @nn.compact
     def __call__(self, h: jax.Array) -> jax.Array:
         # h: (B, T, F_feat, C) or (B, T, D)
         s, mc = self.num_sources, mask_channels(self.mask_type)
+        if self.noise_slot and self.mask_activation == "softmax":
+            s = s + 1  # extra slot participates in the softmax, then dropped
         if h.ndim == 4 and self.feat_is_linear and h.shape[2] == self.n_bins:
             out = nn.Conv(s * mc, (1, 1), dtype=self.dtype)(h)
             out = out.reshape(*out.shape[:3], s, mc)           # (B,T,K,S,mc)
@@ -90,7 +94,8 @@ class MaskHead(nn.Module):
             return jnp.tanh(out)                                # (B,S,T,K,2)
         out = out[..., 0]                                       # (B,S,T,K)
         if self.mask_activation == "softmax":
-            return jax.nn.softmax(out, axis=1)                  # over sources
+            out = jax.nn.softmax(out, axis=1)                   # over slots
+            return out[:, :self.num_sources]       # drop the noise slot if any
         return jax.nn.sigmoid(out)
 
 
@@ -101,6 +106,7 @@ def _toy(cfg):
         n_bins=cfg.dsp.n_bins,
         mask_type=cfg.dsp.mask_type,
         mask_activation=cfg.dsp.mask_activation,
+        noise_slot=cfg.dsp.mask_noise_slot,
         hidden=cfg.model.g_hidden,
         dropout=cfg.model.dropout,
         dtype=jnp.dtype(cfg.model.compute_dtype),
@@ -112,6 +118,7 @@ class ToyMLPGenerator(nn.Module):
     n_bins: int
     mask_type: str
     mask_activation: str
+    noise_slot: bool = False
     hidden: int = 256
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
@@ -128,6 +135,7 @@ class ToyMLPGenerator(nn.Module):
         return MaskHead(
             self.num_sources, self.n_bins, self.mask_type,
             self.mask_activation, feat_is_linear=False, dtype=self.dtype,
+            noise_slot=self.noise_slot,
         )(h)
 
 
@@ -149,6 +157,7 @@ def _conv(cfg):
         feature_dim=cfg.dsp.feature_dim,
         mask_type=cfg.dsp.mask_type,
         mask_activation=cfg.dsp.mask_activation,
+        noise_slot=cfg.dsp.mask_noise_slot,
         channels=cfg.model.g_channels,
         leak=cfg.model.leak,
         dropout=cfg.model.dropout,
@@ -171,6 +180,7 @@ class ConvUNetGenerator(nn.Module):
     feature_dim: int
     mask_type: str
     mask_activation: str
+    noise_slot: bool = False
     channels: Sequence[int] = (32, 64, 128)
     leak: float = 0.2
     dropout: float = 0.0
@@ -256,6 +266,7 @@ class ConvUNetGenerator(nn.Module):
             self.num_sources, self.n_bins, self.mask_type,
             self.mask_activation,
             feat_is_linear=(self.feature_dim == self.n_bins),
+            noise_slot=self.noise_slot,
             dtype=self.dtype,
             head_mode=self.head_mode,
             sample_rate=self.sample_rate,
@@ -269,6 +280,7 @@ def _bilstm(cfg):
         n_bins=cfg.dsp.n_bins,
         mask_type=cfg.dsp.mask_type,
         mask_activation=cfg.dsp.mask_activation,
+        noise_slot=cfg.dsp.mask_noise_slot,
         hidden=cfg.model.g_hidden,
         layers=cfg.model.g_layers,
         dropout=cfg.model.dropout,
@@ -284,6 +296,7 @@ class BiLSTMGenerator(nn.Module):
     n_bins: int
     mask_type: str
     mask_activation: str
+    noise_slot: bool = False
     hidden: int = 300
     layers: int = 2
     dropout: float = 0.0
@@ -300,4 +313,5 @@ class BiLSTMGenerator(nn.Module):
         return MaskHead(
             self.num_sources, self.n_bins, self.mask_type,
             self.mask_activation, feat_is_linear=False, dtype=self.dtype,
+            noise_slot=self.noise_slot,
         )(h)

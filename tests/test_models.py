@@ -19,7 +19,7 @@ def _feats(cfg, b=2, key=0):
 GEN_CASES = [
     ("2src_toy_cpu", "toy"),
     ("2src_toy_cpu", "conv"),
-    ("wsj0_logmel", "conv"),       # mel features -> dense head to linear bins
+    ("wsj0_logmel", "conv"),       # mel features -> interp head to linear bins
     ("3src_pit", "bilstm"),        # softmax masks, 3 sources
     ("music_complex_44k", "conv"),  # complex masks
 ]
@@ -44,6 +44,32 @@ def test_generator_shapes_and_ranges(cfg_name, gen_name):
         assert m.min() >= 0.0 and m.max() <= 1.0
         if cfg.dsp.mask_activation == "softmax":
             np.testing.assert_allclose(m.sum(axis=1), 1.0, atol=1e-5)
+
+
+def test_noise_slot_breaks_sum_to_one():
+    """mask_noise_slot: the softmax head emits S+1 slots and discards the
+    last, so returned masks keep shape (B,S,T,K) but sum to <1 where the
+    model routes energy to the noise sink (the sum-to-1 constraint is what
+    structurally blocks noise suppression on the hard protocol)."""
+    cfg = config.get_config("3src_pit")
+    cfg = cfg.replace(dsp=cfg.dsp.__class__(**{
+        **cfg.dsp.__dict__, "mask_noise_slot": True}))
+    g = models.build_generator(cfg)
+    feats = _feats(cfg)
+    params = g.init(jax.random.PRNGKey(0), feats)
+    masks = np.asarray(g.apply(params, feats))
+    s, k = cfg.data.num_sources, cfg.dsp.n_bins
+    assert masks.shape == (2, s, cfg.num_frames, k)
+    sums = masks.sum(axis=1)
+    assert sums.max() <= 1.0 + 1e-5          # still a sub-distribution
+    assert sums.min() < 1.0 - 1e-3           # noise slot actually absorbs
+
+
+def test_noise_slot_requires_softmax():
+    cfg = config.get_config("wsj0_logmel")   # sigmoid masks
+    with pytest.raises(ValueError, match="mask_noise_slot"):
+        cfg.replace(dsp=cfg.dsp.__class__(**{
+            **cfg.dsp.__dict__, "mask_noise_slot": True}))
 
 
 def test_interp_head_is_position_free():
