@@ -108,6 +108,10 @@ class ModelConfig:
     #                                12.5 dB held-out gap on wsj0_logmel);
     #                                "interp" = FIXED mel-warp resample +
     #                                1x1 conv (position-free weights).
+    #                                For the bilstm trunk: "dense" (hidden→K
+    #                                projection) or "film" (bin-local convs
+    #                                over the input grid, FiLM-modulated by
+    #                                the hidden state — position-free).
     g_decoder_slim: float = 1.0    # channel multiplier on the U-Net decoder
     #                                (ConvTranspose + post-concat convs).
     #                                The decoder carries ~85% of G's MACs at
@@ -287,17 +291,23 @@ class Config:
     @staticmethod
     def from_json(text: str) -> "Config":
         raw = json.loads(text)
+
+        def detuple(d):
+            # JSON has no tuple: every sequence field (channel stacks,
+            # strides, domain weights, ...) must come back as a tuple or
+            # the frozen config loses hashability (jit-static contract).
+            return {k: tuple(v) if isinstance(v, list) else v
+                    for k, v in d.items()}
+
         return Config(
             name=raw["name"],
-            dsp=DSPConfig(**raw["dsp"]),
-            model=ModelConfig(**{k: tuple(v) if isinstance(v, list) else v
-                                 for k, v in raw["model"].items()}),
-            loss=LossConfig(**raw["loss"]),
-            train=TrainConfig(**raw["train"]),
-            data=DataConfig(**{k: tuple(v) if isinstance(v, list) else v
-                               for k, v in raw["data"].items()}),
-            mesh=MeshConfig(**raw["mesh"]),
-            stream=StreamConfig(**raw["stream"]),
+            dsp=DSPConfig(**detuple(raw["dsp"])),
+            model=ModelConfig(**detuple(raw["model"])),
+            loss=LossConfig(**detuple(raw["loss"])),
+            train=TrainConfig(**detuple(raw["train"])),
+            data=DataConfig(**detuple(raw["data"])),
+            mesh=MeshConfig(**detuple(raw["mesh"])),
+            stream=StreamConfig(**detuple(raw["stream"])),
         )
 
     def fingerprint(self) -> str:
@@ -446,9 +456,13 @@ def _stream() -> Config:
         name="stream_v5e8",
         dsp=DSPConfig(sample_rate=16000, n_fft=512, hop_length=128,
                       win_length=512, feature="logmag", mask_type="magnitude"),
+        # fold(1,2) G stem (lossless space-to-depth on the frequency axis):
+        # measured +43% train throughput (776 vs 541 mix-s/s/chip) AND
+        # +1.2 dB held-out SI-SDRi (+18.0 vs +16.8 @10k) — BASELINE.md r3.
         model=ModelConfig(generator="conv", discriminator="conv",
                           g_channels=(32, 64, 128), d_channels=(32, 64, 128),
-                          compute_dtype="bfloat16", d_norm="spectral"),
+                          compute_dtype="bfloat16", d_norm="spectral",
+                          g_stem_mode="fold", g_stem_stride=(1, 2)),
         # Deployment preset: waveform −SI-SDR reconstruction measured best
         # (+21.9 dB SI-SDRi at 10k steps vs +19.7 for mag-/log-L1; see
         # BASELINE.md quality table).

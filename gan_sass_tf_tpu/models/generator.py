@@ -50,20 +50,50 @@ class MaskHead(nn.Module):
     feat_is_linear: bool    # True when F_feat == n_bins (1x1 conv head ok)
     dtype: jnp.dtype = jnp.float32       # compute dtype (bf16 speed path)
     head_mode: str = "dense"  # non-linear-grid heads: "dense" (learned
-    #                           per-position map) or "interp" (FIXED mel-warp
+    #                           per-position map), "interp" (FIXED mel-warp
     #                           resample to the bin grid + 1x1 conv — shift-
-    #                           equivariant, cannot memorize bin positions)
+    #                           equivariant, cannot memorize bin positions),
+    #                           or "film" (sequence trunks: bin-local convs
+    #                           over the linear-grid input spectrogram,
+    #                           FiLM-modulated by the per-frame hidden state)
     sample_rate: float = 0.0  # required by "interp" (mel-center geometry)
     noise_slot: bool = False  # softmax only: S+1 slots, last one discarded —
     #                           sink for mixture noise (DSPConfig.mask_noise_slot)
+    film_channels: int = 32   # width of the "film" head's bin-local convs
 
     @nn.compact
-    def __call__(self, h: jax.Array) -> jax.Array:
-        # h: (B, T, F_feat, C) or (B, T, D)
+    def __call__(self, h: jax.Array, x_ref: jax.Array | None = None
+                 ) -> jax.Array:
+        # h: (B, T, F_feat, C) or (B, T, D);
+        # x_ref: (B, T, n_bins) linear-grid input features ("film" only)
         s, mc = self.num_sources, mask_channels(self.mask_type)
         if self.noise_slot and self.mask_activation == "softmax":
             s = s + 1  # extra slot participates in the softmax, then dropped
-        if h.ndim == 4 and self.feat_is_linear and h.shape[2] == self.n_bins:
+        if self.head_mode == "film" and h.ndim == 3:
+            # Position-free head for sequence trunks: the Dense hidden→K map
+            # below can memorize trained pitch positions (measured ~11 dB
+            # held-out generalization gap on 3src_pit — BASELINE.md round 3,
+            # same failure the interp head fixed on wsj0_logmel).  Here mask
+            # logits come from bin-LOCAL convs over the input spectrogram
+            # (shift-equivariant along bins) FiLM-modulated by the BiLSTM's
+            # per-frame hidden state (broadcast over bins): no learned
+            # weight carries a bin-position axis.
+            if x_ref is None or x_ref.shape[-1] != self.n_bins:
+                raise ValueError(
+                    "head_mode='film' needs linear-grid input features "
+                    f"(n_bins={self.n_bins}) as x_ref"
+                )
+            c = self.film_channels
+            x = _standardize(x_ref, axes=(1, 2))[..., None].astype(self.dtype)
+            for _ in range(2):
+                x = nn.Conv(c, (1, 5), dtype=self.dtype)(x)   # along bins
+                gb = nn.Dense(2 * c, dtype=self.dtype)(h)     # (B, T, 2c)
+                gamma, beta = jnp.split(gb[:, :, None, :], 2, axis=-1)
+                x = jax.nn.leaky_relu(x * (1.0 + gamma) + beta, 0.2)
+            out = nn.Conv(s * mc, (1, 1), dtype=self.dtype)(x)
+            out = out.reshape(*out.shape[:3], s, mc)           # (B,T,K,S,mc)
+            out = jnp.moveaxis(out, 3, 1)                       # (B,S,T,K,mc)
+        elif h.ndim == 4 and self.feat_is_linear and h.shape[2] == self.n_bins:
             out = nn.Conv(s * mc, (1, 1), dtype=self.dtype)(h)
             out = out.reshape(*out.shape[:3], s, mc)           # (B,T,K,S,mc)
             out = jnp.moveaxis(out, 3, 1)                       # (B,S,T,K,mc)
@@ -275,6 +305,17 @@ class ConvUNetGenerator(nn.Module):
 
 @register_generator("bilstm")
 def _bilstm(cfg):
+    if cfg.model.g_head_mode not in ("dense", "film"):
+        raise ValueError(
+            "bilstm g_head_mode must be 'dense' or 'film', "
+            f"got {cfg.model.g_head_mode!r}"
+        )
+    if (cfg.model.g_head_mode == "film"
+            and cfg.dsp.feature_dim != cfg.dsp.n_bins):
+        raise ValueError(
+            "g_head_mode='film' needs linear-grid input features "
+            f"(feature_dim {cfg.dsp.feature_dim} != n_bins {cfg.dsp.n_bins})"
+        )
     return BiLSTMGenerator(
         num_sources=cfg.data.num_sources,
         n_bins=cfg.dsp.n_bins,
@@ -285,6 +326,7 @@ def _bilstm(cfg):
         layers=cfg.model.g_layers,
         dropout=cfg.model.dropout,
         dtype=jnp.dtype(cfg.model.compute_dtype),
+        head_mode=cfg.model.g_head_mode,
     )
 
 
@@ -301,6 +343,8 @@ class BiLSTMGenerator(nn.Module):
     layers: int = 2
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    head_mode: str = "dense"   # "dense" (hidden→K projection; can memorize
+    #                            bin positions) | "film" (position-free)
 
     @nn.compact
     def __call__(self, feats: jax.Array, train: bool = False) -> jax.Array:
@@ -313,5 +357,5 @@ class BiLSTMGenerator(nn.Module):
         return MaskHead(
             self.num_sources, self.n_bins, self.mask_type,
             self.mask_activation, feat_is_linear=False, dtype=self.dtype,
-            noise_slot=self.noise_slot,
-        )(h)
+            noise_slot=self.noise_slot, head_mode=self.head_mode,
+        )(h, x_ref=feats)

@@ -72,6 +72,42 @@ def test_noise_slot_requires_softmax():
             **cfg.dsp.__dict__, "mask_noise_slot": True}))
 
 
+def test_film_head_is_position_free():
+    """g_head_mode='film' (bilstm): mask logits come from bin-local convs
+    over the input spectrogram FiLM-modulated by the hidden state — no
+    learned parameter carries a bin-position axis (the Dense hidden→K head
+    measured an ~11 dB held-out generalization gap on 3src_pit)."""
+    cfg = config.get_config("3src_pit")
+    cfg = cfg.replace(model=cfg.model.__class__(**{
+        **cfg.model.__dict__, "g_head_mode": "film"}))
+    g = models.build_generator(cfg)
+    feats = _feats(cfg)
+    params = g.init(jax.random.PRNGKey(0), feats)
+    masks = np.asarray(g.apply(params, feats))
+    s, k = cfg.data.num_sources, cfg.dsp.n_bins
+    assert masks.shape == (2, s, cfg.num_frames, k)
+    np.testing.assert_allclose(masks.sum(axis=1), 1.0, atol=1e-5)
+    # No HEAD parameter axis equals (a multiple of) n_bins: nothing learned
+    # on the mask-output side is per-bin.  (The trunk necessarily READS the
+    # 257-dim input — that is the LSTM input kernel, not a per-output map.)
+    leaves = jax.tree_util.tree_flatten_with_path(params)[0]
+    head = [(path, p) for path, p in leaves
+            if any("MaskHead" in str(key) for key in path)]
+    assert head, "film head params not found"
+    for path, p in head:
+        for d in np.shape(p):
+            assert d % k != 0, (path, np.shape(p))
+
+
+def test_film_head_requires_linear_grid():
+    cfg = config.get_config("wsj0_logmel")   # mel frontend (80 != 257)
+    bad = cfg.replace(model=cfg.model.__class__(**{
+        **cfg.model.__dict__, "generator": "bilstm",
+        "g_head_mode": "film"}))
+    with pytest.raises(ValueError, match="film"):
+        models.build_generator(bad)
+
+
 def test_interp_head_is_position_free():
     """g_head_mode='interp' (mel frontends): masks come from a FIXED mel-warp
     resample + 1x1 conv — correct shapes/ranges, far fewer params than the
