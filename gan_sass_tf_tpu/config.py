@@ -180,6 +180,14 @@ class TrainConfig:
     #                                overhead; logging/ckpt cadence rounds to
     #                                dispatch boundaries
     grad_clip: float = 5.0
+    d_instance_noise: float = 0.0  # std of Gaussian added to EVERY D input
+    #                                (real and fake pairs, and the G-side
+    #                                adversarial D eval; log-magnitude
+    #                                units).  Instance noise overlaps the
+    #                                real/fake distributions so a winning D
+    #                                cannot saturate (hard-protocol runs
+    #                                measure d_loss -> ~2e-3, starving G of
+    #                                adversarial signal).  0 disables.
     g_ema: float = 0.0             # EMA decay for a shadow copy of G params
     #                                (0 disables).  Standard GAN practice:
     #                                eval/inference use the averaged weights,

@@ -147,12 +147,24 @@ def build_train_step(cfg, g, d, axis_names: Tuple[str, ...] = (),
 
     # ---- D update --------------------------------------------------------
 
+    d_noise = float(cfg.train.d_instance_noise)
+
+    def _with_instance_noise(x, rng):
+        # Instance noise: overlap the real/fake D-input distributions so a
+        # winning D cannot drive d_loss to ~0 (measured on every hard-
+        # protocol row) — fresh per D evaluation, both halves, same std.
+        if d_noise <= 0.0:
+            return x
+        return x + d_noise * jax.random.normal(rng, x.shape, x.dtype)
+
     def d_loss_fn(d_params, d_stats, x, rng):
         # x = concat(real-pair, fake-pair) D input, built ONCE per step
         # outside the grads (VERDICT r1: it is a stop-gradient constant in
         # the D loss, so no per-d_step rebuild and no duplicate G forward).
         # Real+fake through one D pass: one big MXU-friendly batch, and BN
         # stats see the same distribution every step.
+        rng, rng_n = jax.random.split(rng)
+        x = _with_instance_noise(x, rng_n)
         logits, new_stats = d_apply(d_params, d_stats, x, update_stats=True,
                                     rng=rng)
         real, fake = jnp.split(logits, 2)
@@ -320,9 +332,15 @@ def build_train_step(cfg, g, d, axis_names: Tuple[str, ...] = (),
                       for w, dn in zip(dweights, domains))
             # Adversarial term needs the differentiable est_logmag — the
             # only pair tensor rebuilt (its fake half carries the grad).
+            # D sees the same instance noise here as in its own updates
+            # (noise is additive, so the grad path through est_logmag is
+            # untouched).
+            rng_ga2, rng_gn = jax.random.split(rng_ga)
             fake_logits, _ = d_apply(
-                d_params, d_stats, d_input(mix_logmag, est_logmag),
-                update_stats=False, rng=rng_ga,
+                d_params, d_stats,
+                _with_instance_noise(d_input(mix_logmag, est_logmag),
+                                     rng_gn),
+                update_stats=False, rng=rng_ga2,
             )
             adv = gan_g_loss(fake_logits, lcfg.gan_loss)
             loss = lcfg.adv_weight * adv + lcfg.recon_weight * rec

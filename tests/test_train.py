@@ -40,6 +40,26 @@ def test_toy_training_losses_finite_and_learning(tmp_path):
     assert last < first, f"recon did not decrease: {first} -> {last}"
 
 
+def test_d_instance_noise_trains_and_perturbs_d():
+    """train.d_instance_noise: additive Gaussian on every D input (real and
+    fake halves + the G-side adversarial eval).  Same seed, one step: the
+    D-side metrics must differ from the clean run (noise actually reaches
+    the logits) and training must stay finite."""
+    base = _tiny_cfg()
+    noisy = base.replace(train=base.train.__class__(**{
+        **base.train.__dict__, "d_instance_noise": 0.5}))
+    runs = {}
+    for name, cfg in (("clean", base), ("noisy", noisy)):
+        exp = Experiment(cfg, workdir=None)
+        hist = []
+        exp.train(num_steps=5, log_fn=lambda s, m: hist.append(dict(m)))
+        for m in hist:
+            for k, v in m.items():
+                assert np.isfinite(v), f"{name} {k} not finite: {v}"
+        runs[name] = hist[0]["d_loss"]
+    assert runs["clean"] != runs["noisy"]
+
+
 def test_separate_roundtrip():
     cfg = _tiny_cfg()
     exp = Experiment(cfg, workdir=None)
