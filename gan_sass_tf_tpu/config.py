@@ -112,6 +112,14 @@ class ModelConfig:
     #                                projection) or "film" (bin-local convs
     #                                over the input grid, FiLM-modulated by
     #                                the hidden state — position-free).
+    g_film_channels: int = 64      # width of the "film" head's dilated
+    #                                bin-local conv stack
+    g_crop_nyquist: bool = False   # conv G: run on the even K-1 bin grid,
+    #                                copy the top bin's mask from its
+    #                                neighbor — n_bins = n_fft/2+1 is odd,
+    #                                which pads every full-grid tensor's
+    #                                TPU tiling; the Nyquist bin carries
+    #                                negligible energy.
     g_decoder_slim: float = 1.0    # channel multiplier on the U-Net decoder
     #                                (ConvTranspose + post-concat convs).
     #                                The decoder carries ~85% of G's MACs at
@@ -464,13 +472,14 @@ def _stream() -> Config:
         name="stream_v5e8",
         dsp=DSPConfig(sample_rate=16000, n_fft=512, hop_length=128,
                       win_length=512, feature="logmag", mask_type="magnitude"),
-        # fold(1,2) G stem (lossless space-to-depth on the frequency axis):
-        # measured +43% train throughput (776 vs 541 mix-s/s/chip) AND
-        # +1.2 dB held-out SI-SDRi (+18.0 vs +16.8 @10k) — BASELINE.md r3.
+        # fold(1,2) G stem measured +43% throughput and +1.2 dB on the EASY
+        # protocol but −2.9 dB held-out on the hard (noisy, shared-f0) one
+        # (BASELINE.md r3) — fine per-bin detail matters once sources
+        # overlap, so the default stays full-grid; fold is the documented
+        # opt-in throughput lever (g_stem_mode="fold", g_stem_stride=(1,2)).
         model=ModelConfig(generator="conv", discriminator="conv",
                           g_channels=(32, 64, 128), d_channels=(32, 64, 128),
-                          compute_dtype="bfloat16", d_norm="spectral",
-                          g_stem_mode="fold", g_stem_stride=(1, 2)),
+                          compute_dtype="bfloat16", d_norm="spectral"),
         # Deployment preset: waveform −SI-SDR reconstruction measured best
         # (+21.9 dB SI-SDRi at 10k steps vs +19.7 for mag-/log-L1; see
         # BASELINE.md quality table).

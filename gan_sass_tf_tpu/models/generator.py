@@ -59,7 +59,7 @@ class MaskHead(nn.Module):
     sample_rate: float = 0.0  # required by "interp" (mel-center geometry)
     noise_slot: bool = False  # softmax only: S+1 slots, last one discarded —
     #                           sink for mixture noise (DSPConfig.mask_noise_slot)
-    film_channels: int = 32   # width of the "film" head's bin-local convs
+    film_channels: int = 64   # width of the "film" head's bin-local convs
 
     @nn.compact
     def __call__(self, h: jax.Array, x_ref: jax.Array | None = None
@@ -85,8 +85,26 @@ class MaskHead(nn.Module):
                 )
             c = self.film_channels
             x = _standardize(x_ref, axes=(1, 2))[..., None].astype(self.dtype)
-            for _ in range(2):
-                x = nn.Conv(c, (1, 5), dtype=self.dtype)(x)   # along bins
+            # Fixed sinusoidal frequency encoding: position enters as a
+            # SMOOTH input feature (band-limited to 8 cycles over the bin
+            # axis), never as a learned per-bin weight — position-dependent
+            # masks stay interpolatable to held-out pitches.  Without any
+            # position signal the v1 head underfit even the training
+            # distribution (+4.0 vs +19.9 dB train-dist on 3src).
+            k_pos = jnp.linspace(0.0, 1.0, self.n_bins, dtype=self.dtype)
+            enc = jnp.stack(
+                [k_pos] + [jnp.sin(2.0 * jnp.pi * k_pos * f)
+                           for f in (1.0, 2.0, 4.0, 8.0)], axis=-1)
+            enc = jnp.broadcast_to(
+                enc[None, None], (*x.shape[:2], self.n_bins, enc.shape[-1]))
+            x = jnp.concatenate([x, enc], axis=-1)
+            # Dilated along bins: receptive field ~29 bins spans 2-4
+            # harmonic spacings at the 3src geometry (f0 80-300 Hz,
+            # 15.6 Hz/bin), so the head can SEE harmonic structure instead
+            # of asking the FiLM bottleneck to encode it.
+            for dil in (1, 2, 4):
+                x = nn.Conv(c, (1, 5), kernel_dilation=(1, dil),
+                            dtype=self.dtype)(x)
                 gb = nn.Dense(2 * c, dtype=self.dtype)(h)     # (B, T, 2c)
                 gamma, beta = jnp.split(gb[:, :, None, :], 2, axis=-1)
                 x = jax.nn.leaky_relu(x * (1.0 + gamma) + beta, 0.2)
@@ -198,6 +216,7 @@ def _conv(cfg):
         decoder_slim=cfg.model.g_decoder_slim,
         head_mode=cfg.model.g_head_mode,
         sample_rate=float(cfg.dsp.sample_rate),
+        crop_nyquist=cfg.model.g_crop_nyquist,
     )
 
 
@@ -225,9 +244,20 @@ class ConvUNetGenerator(nn.Module):
     decoder_slim: float = 1.0  # decoder channel multiplier (g_decoder_slim)
     head_mode: str = "dense"   # mel-feature mask head (ModelConfig.g_head_mode)
     sample_rate: float = 0.0
+    crop_nyquist: bool = False  # run the net on the even K-1 bin grid and
+    #                             copy the top bin's mask from its neighbor:
+    #                             n_bins = n_fft/2 + 1 is odd (1025 at the
+    #                             music geometry), which pads every full-grid
+    #                             tensor's TPU tiling; the Nyquist bin
+    #                             carries negligible energy (22.05 kHz).
 
     @nn.compact
     def __call__(self, feats: jax.Array, train: bool = False) -> jax.Array:
+        crop = (self.crop_nyquist and self.feature_dim == self.n_bins
+                and feats.shape[2] == self.n_bins and self.n_bins % 2 == 1)
+        if crop:
+            feats = feats[:, :, :-1]
+        k_bins = self.n_bins - 1 if crop else self.n_bins
         t_in, f_in = feats.shape[1], feats.shape[2]
         x = _standardize(feats, axes=(1, 2))[..., None].astype(self.dtype)
         x_full = x                       # full-res input (head skip, below)
@@ -292,8 +322,8 @@ class ConvUNetGenerator(nn.Module):
             # never sees per-bin input detail — measured −2.3 dB SI-SDRi
             # at the music geometry.  One extra head channel ≈ free.
             x = jnp.concatenate([x, x_full], axis=-1)
-        return MaskHead(
-            self.num_sources, self.n_bins, self.mask_type,
+        masks = MaskHead(
+            self.num_sources, k_bins, self.mask_type,
             self.mask_activation,
             feat_is_linear=(self.feature_dim == self.n_bins),
             noise_slot=self.noise_slot,
@@ -301,6 +331,11 @@ class ConvUNetGenerator(nn.Module):
             head_mode=self.head_mode,
             sample_rate=self.sample_rate,
         )(x)
+        if crop:
+            # Nyquist-bin mask := its neighbor's (axis 3 = bins; works for
+            # both magnitude (B,S,T,K) and complex (B,S,T,K,2) masks).
+            masks = jnp.concatenate([masks, masks[:, :, :, -1:]], axis=3)
+        return masks
 
 
 @register_generator("bilstm")
@@ -327,6 +362,7 @@ def _bilstm(cfg):
         dropout=cfg.model.dropout,
         dtype=jnp.dtype(cfg.model.compute_dtype),
         head_mode=cfg.model.g_head_mode,
+        film_channels=cfg.model.g_film_channels,
     )
 
 
@@ -345,6 +381,7 @@ class BiLSTMGenerator(nn.Module):
     dtype: jnp.dtype = jnp.float32
     head_mode: str = "dense"   # "dense" (hidden→K projection; can memorize
     #                            bin positions) | "film" (position-free)
+    film_channels: int = 64
 
     @nn.compact
     def __call__(self, feats: jax.Array, train: bool = False) -> jax.Array:
@@ -358,4 +395,5 @@ class BiLSTMGenerator(nn.Module):
             self.num_sources, self.n_bins, self.mask_type,
             self.mask_activation, feat_is_linear=False, dtype=self.dtype,
             noise_slot=self.noise_slot, head_mode=self.head_mode,
+            film_channels=self.film_channels,
         )(h, x_ref=feats)

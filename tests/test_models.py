@@ -72,6 +72,24 @@ def test_noise_slot_requires_softmax():
             **cfg.dsp.__dict__, "mask_noise_slot": True}))
 
 
+def test_crop_nyquist_masks_full_width_top_bin_copied():
+    """g_crop_nyquist: the conv U-Net computes on the even K-1 grid (odd
+    n_bins pads every full-grid tensor's TPU tiling) and the returned masks
+    are still full width, with the Nyquist bin copying its neighbor."""
+    cfg = config.get_config("music_complex_44k")
+    cfg = cfg.replace(model=cfg.model.__class__(**{
+        **cfg.model.__dict__, "g_crop_nyquist": True,
+        "g_channels": (8, 16)}))
+    g = models.build_generator(cfg)
+    feats = _feats(cfg)
+    params = g.init(jax.random.PRNGKey(0), feats)
+    masks = np.asarray(g.apply(params, feats))
+    s, k = cfg.data.num_sources, cfg.dsp.n_bins
+    assert k % 2 == 1
+    assert masks.shape == (2, s, cfg.num_frames, k, 2)   # complex masks
+    np.testing.assert_array_equal(masks[:, :, :, -1], masks[:, :, :, -2])
+
+
 def test_film_head_is_position_free():
     """g_head_mode='film' (bilstm): mask logits come from bin-local convs
     over the input spectrogram FiLM-modulated by the hidden state — no
