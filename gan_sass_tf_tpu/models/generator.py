@@ -125,8 +125,14 @@ class MaskHead(nn.Module):
 
             w = jnp.asarray(mel_interp_matrix(
                 h.shape[2], self.n_bins, self.sample_rate), self.dtype)
-            h = jnp.einsum("btmc,km->btkc", h.astype(self.dtype), w)
-            out = nn.Conv(s * mc, (1, 1), dtype=self.dtype)(h)
+            # 1x1 conv FIRST (at the mel grid), warp SECOND: the two linear
+            # ops commute (the conv mixes channels at fixed m, the warp
+            # mixes m at fixed channel; warp rows sum to 1 so the bias
+            # passes through exactly), and this order never materializes
+            # the (B,T,K,C) full-grid tensor — only (B,T,M,S·mc) then
+            # (B,T,K,S·mc), ~16x less HBM traffic at the wsj0 geometry.
+            out = nn.Conv(s * mc, (1, 1), dtype=self.dtype)(h.astype(self.dtype))
+            out = jnp.einsum("btmo,km->btko", out, w)
             out = out.reshape(*out.shape[:3], s, mc)           # (B,T,K,S,mc)
             out = jnp.moveaxis(out, 3, 1)                       # (B,S,T,K,mc)
         else:
