@@ -427,9 +427,15 @@ def _3src() -> Config:
         dsp=DSPConfig(sample_rate=8000, n_fft=512, hop_length=128,
                       win_length=512, feature="logmag", mask_type="magnitude",
                       mask_activation="softmax"),
+        # film mask head: the Dense hidden->K head memorizes trained pitch
+        # positions (held-out +8.8 vs train-dist +19.9 @5k); the film head
+        # (bin-local dilated convs + FiLM from the BiLSTM state, fixed
+        # sinusoidal freq encoding) scores +10.9 held-out easy / +2.6 hard
+        # at equal train fit, ~2x step time (BASELINE.md round 3).
         model=ModelConfig(generator="bilstm", discriminator="conv",
                           g_hidden=300, g_layers=2,
-                          d_channels=(32, 64, 128), d_norm="spectral"),
+                          d_channels=(32, 64, 128), d_norm="spectral",
+                          g_head_mode="film"),
         loss=LossConfig(use_pit=True, recon_loss="l1"),
         train=TrainConfig(batch_size=16, d_lr=1e-4),
         data=DataConfig(dataset="synthetic", num_sources=3,
