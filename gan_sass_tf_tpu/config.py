@@ -62,10 +62,13 @@ class DSPConfig:
                 "tf.signal zero-pads the frame to the FFT size, so "
                 "win_length must be <= n_fft"
             )
-        if self.mask_noise_slot and self.mask_activation != "softmax":
+        if self.mask_noise_slot and (self.mask_activation != "softmax"
+                                     or self.mask_type != "magnitude"):
             raise ValueError(
-                "mask_noise_slot requires mask_activation='softmax' "
-                "(sigmoid masks can already suppress noise bin-wise)"
+                "mask_noise_slot requires mask_activation='softmax' and "
+                "mask_type='magnitude' (sigmoid masks can already suppress "
+                "noise bin-wise; complex tanh masks have no slot axis to "
+                "drop)"
             )
 
     @property
@@ -432,10 +435,13 @@ def _3src() -> Config:
         # (bin-local dilated convs + FiLM from the BiLSTM state, fixed
         # sinusoidal freq encoding) scores +10.9 held-out easy / +2.6 hard
         # at equal train fit, ~2x step time (BASELINE.md round 3).
+        # bf16 compute: +33% measured on the film-head step at equal
+        # quality (easy +10.8 vs +10.9, hard +2.3 vs +2.6 — run noise);
+        # masks still exit f32 from the head.
         model=ModelConfig(generator="bilstm", discriminator="conv",
                           g_hidden=300, g_layers=2,
                           d_channels=(32, 64, 128), d_norm="spectral",
-                          g_head_mode="film"),
+                          g_head_mode="film", compute_dtype="bfloat16"),
         loss=LossConfig(use_pit=True, recon_loss="l1"),
         train=TrainConfig(batch_size=16, d_lr=1e-4),
         data=DataConfig(dataset="synthetic", num_sources=3,
@@ -483,9 +489,15 @@ def _stream() -> Config:
         # (BASELINE.md r3) — fine per-bin detail matters once sources
         # overlap, so the default stays full-grid; fold is the documented
         # opt-in throughput lever (g_stem_mode="fold", g_stem_stride=(1,2)).
+        # g_crop_nyquist: +26% throughput (644 vs 512 mix-s/s/chip) at
+        # neutral quality (easy +17.1 vs +16.8; hard within the protocol's
+        # ±1.3 dB seed variance: crop 9.1/8.5 vs no-crop 10.6/7.6 across
+        # seeds 0/7) — the odd K=257 grid pads every full-grid tensor's
+        # tiling at this batch-4 geometry.
         model=ModelConfig(generator="conv", discriminator="conv",
                           g_channels=(32, 64, 128), d_channels=(32, 64, 128),
-                          compute_dtype="bfloat16", d_norm="spectral"),
+                          compute_dtype="bfloat16", d_norm="spectral",
+                          g_crop_nyquist=True),
         # Deployment preset: waveform −SI-SDR reconstruction measured best
         # (+21.9 dB SI-SDRi at 10k steps vs +19.7 for mag-/log-L1; see
         # BASELINE.md quality table).

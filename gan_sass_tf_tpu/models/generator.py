@@ -67,8 +67,11 @@ class MaskHead(nn.Module):
         # h: (B, T, F_feat, C) or (B, T, D);
         # x_ref: (B, T, n_bins) linear-grid input features ("film" only)
         s, mc = self.num_sources, mask_channels(self.mask_type)
-        if self.noise_slot and self.mask_activation == "softmax":
+        if (self.noise_slot and self.mask_activation == "softmax"
+                and self.mask_type == "magnitude"):
             s = s + 1  # extra slot participates in the softmax, then dropped
+            #            (magnitude-softmax only — DSPConfig validates; the
+            #            complex tanh exit below has no slot-drop)
         if self.head_mode == "film" and h.ndim == 3:
             # Position-free head for sequence trunks: the Dense hidden→K map
             # below can memorize trained pitch positions (measured ~11 dB
@@ -84,7 +87,10 @@ class MaskHead(nn.Module):
                     f"(n_bins={self.n_bins}) as x_ref"
                 )
             c = self.film_channels
-            x = _standardize(x_ref, axes=(1, 2))[..., None].astype(self.dtype)
+            # x_ref arrives ALREADY standardized (the trunk's own
+            # _standardize output is reused — no second full-grid
+            # mean/var reduction on a bandwidth-bound step).
+            x = x_ref[..., None].astype(self.dtype)
             # Fixed sinusoidal frequency encoding: position enters as a
             # SMOOTH input feature (band-limited to 8 cycles over the bin
             # axis), never as a learned per-bin weight — position-dependent
@@ -155,6 +161,9 @@ class MaskHead(nn.Module):
 
 @register_generator("toy")
 def _toy(cfg):
+    if cfg.model.g_crop_nyquist:
+        raise ValueError("g_crop_nyquist is only supported by the 'conv' "
+                         "generator")
     return ToyMLPGenerator(
         num_sources=cfg.data.num_sources,
         n_bins=cfg.dsp.n_bins,
@@ -204,6 +213,14 @@ def _conv(cfg):
         raise ValueError(
             f"g_head_mode must be 'dense' or 'interp', "
             f"got {cfg.model.g_head_mode!r}"
+        )
+    if cfg.model.g_crop_nyquist and (
+            cfg.dsp.feature_dim != cfg.dsp.n_bins
+            or cfg.dsp.n_bins % 2 == 0):
+        # Fail loudly: a silently-inactive perf knob poisons A/B numbers.
+        raise ValueError(
+            "g_crop_nyquist needs linear-grid features with odd n_bins "
+            f"(feature_dim {cfg.dsp.feature_dim}, n_bins {cfg.dsp.n_bins})"
         )
     return ConvUNetGenerator(
         num_sources=cfg.data.num_sources,
@@ -346,6 +363,9 @@ class ConvUNetGenerator(nn.Module):
 
 @register_generator("bilstm")
 def _bilstm(cfg):
+    if cfg.model.g_crop_nyquist:
+        raise ValueError("g_crop_nyquist is only supported by the 'conv' "
+                         "generator")
     if cfg.model.g_head_mode not in ("dense", "film"):
         raise ValueError(
             "bilstm g_head_mode must be 'dense' or 'film', "
@@ -391,7 +411,8 @@ class BiLSTMGenerator(nn.Module):
 
     @nn.compact
     def __call__(self, feats: jax.Array, train: bool = False) -> jax.Array:
-        h = _standardize(feats, axes=(1, 2)).astype(self.dtype)  # (B,T,F)
+        x0 = _standardize(feats, axes=(1, 2))                    # (B,T,F)
+        h = x0.astype(self.dtype)
         for _ in range(self.layers):
             fwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden, dtype=self.dtype))
             bwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden, dtype=self.dtype))
@@ -402,4 +423,4 @@ class BiLSTMGenerator(nn.Module):
             self.mask_activation, feat_is_linear=False, dtype=self.dtype,
             noise_slot=self.noise_slot, head_mode=self.head_mode,
             film_channels=self.film_channels,
-        )(h, x_ref=feats)
+        )(h, x_ref=x0)   # standardized once; the film head reuses it

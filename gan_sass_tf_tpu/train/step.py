@@ -179,14 +179,15 @@ def build_train_step(cfg, g, d, axis_names: Tuple[str, ...] = (),
     def train_step(state: TrainState, data: jax.Array, rng: jax.Array):
         rng = jax.random.fold_in(rng, state.step)
         rng_mix, rng_data, rng_g, rng_dl, rng_ga = jax.random.split(rng, 5)
-        if use_dropout:
-            # Decorrelate dropout masks across data-parallel shards: the
-            # step rng is replicated, so without this every shard would
-            # apply the SAME mask to its different local batch.  (Mixing /
-            # sampling keys already decorrelate via per-global-example
-            # fold_in.)  Folded UNCONDITIONALLY — fold_in(k, 0) != k, so
-            # the unsharded step must fold too for shard 0 to genuinely
-            # match it (r2 advisor finding).
+        if use_dropout or d_noise > 0.0:
+            # Decorrelate dropout masks AND D instance noise across
+            # data-parallel shards: the step rng is replicated, so without
+            # this every shard would apply the SAME mask/noise to its
+            # different local batch.  (Mixing / sampling keys already
+            # decorrelate via per-global-example fold_in.)  Folded
+            # UNCONDITIONALLY — fold_in(k, 0) != k, so the unsharded step
+            # must fold too for shard 0 to genuinely match it (r2 advisor
+            # finding).
             shard = _shard_offset(axis_names, 1)
             rng_g, rng_dl, rng_ga = (
                 jax.random.fold_in(k, shard)
@@ -332,9 +333,9 @@ def build_train_step(cfg, g, d, axis_names: Tuple[str, ...] = (),
                       for w, dn in zip(dweights, domains))
             # Adversarial term needs the differentiable est_logmag — the
             # only pair tensor rebuilt (its fake half carries the grad).
-            # D sees the same instance noise here as in its own updates
-            # (noise is additive, so the grad path through est_logmag is
-            # untouched).
+            # D sees instance noise of the same std here as in its own
+            # updates — FRESH noise, not the D-update keys' (noise is
+            # additive, so the grad path through est_logmag is untouched).
             rng_ga2, rng_gn = jax.random.split(rng_ga)
             fake_logits, _ = d_apply(
                 d_params, d_stats,

@@ -72,6 +72,29 @@ def test_noise_slot_requires_softmax():
             **cfg.dsp.__dict__, "mask_noise_slot": True}))
 
 
+def test_noise_slot_rejects_complex_masks():
+    """The complex tanh exit has no slot axis to drop — the combination
+    must fail at config time, not produce S+1 sources at trace time."""
+    cfg = config.get_config("music_complex_44k")
+    with pytest.raises(ValueError, match="mask_noise_slot"):
+        cfg.replace(dsp=cfg.dsp.__class__(**{
+            **cfg.dsp.__dict__, "mask_activation": "softmax",
+            "mask_noise_slot": True}))
+
+
+def test_crop_nyquist_invalid_combos_fail_loudly():
+    """A silently-inactive perf knob poisons A/B numbers: crop on a mel
+    frontend or a non-conv generator must raise, not no-op."""
+    mel = config.get_config("wsj0_logmel")   # feature_dim 80 != n_bins
+    with pytest.raises(ValueError, match="crop_nyquist"):
+        models.build_generator(mel.replace(model=mel.model.__class__(**{
+            **mel.model.__dict__, "g_crop_nyquist": True})))
+    lstm = config.get_config("3src_pit")     # bilstm generator
+    with pytest.raises(ValueError, match="crop_nyquist"):
+        models.build_generator(lstm.replace(model=lstm.model.__class__(**{
+            **lstm.model.__dict__, "g_crop_nyquist": True})))
+
+
 def test_crop_nyquist_masks_full_width_top_bin_copied():
     """g_crop_nyquist: the conv U-Net computes on the even K-1 grid (odd
     n_bins pads every full-grid tensor's TPU tiling) and the returned masks

@@ -178,8 +178,11 @@ def test_three_source_pit_training():
     assert np.isfinite(m["g_loss"]) and np.isfinite(m["d_loss"])
 
 
-def test_logmel_feature_training():
-    """wsj0-style log-mel frontend: fused features path + dense mask head."""
+@pytest.mark.parametrize("head_mode", ["dense", "interp"])
+def test_logmel_feature_training(head_mode):
+    """wsj0-style log-mel frontend: fused features path with both mel mask
+    heads (the preset now defaults to 'interp'; 'dense' stays supported and
+    keeps training-integration coverage here)."""
     base = config.get_config("wsj0_logmel")
     cfg = base.replace(
         dsp=base.dsp.__class__(**{**base.dsp.__dict__, "n_fft": 128,
@@ -192,7 +195,8 @@ def test_logmel_feature_training():
                                     "segment_seconds": 0.25}),
         model=base.model.__class__(**{**base.model.__dict__,
                                       "g_channels": (8,),
-                                      "d_channels": (8, 16)}),
+                                      "d_channels": (8, 16),
+                                      "g_head_mode": head_mode}),
     )
     exp = Experiment(cfg, workdir=None)
     m = exp.train(num_steps=2)
