@@ -70,6 +70,9 @@ def main(argv=None) -> int:
     _add_common(p_sep)
     p_sep.add_argument("--input", required=True, help="mixture wav path")
     p_sep.add_argument("--output-dir", required=True)
+    p_sep.add_argument("--best", action="store_true",
+                       help="use the best-held-out-eval checkpoint "
+                            "(workdir/best) instead of the latest")
     p_sep.add_argument("--streaming", action="store_true",
                        help="chunked overlap-add streaming mode")
     p_sep.add_argument("--streaming-mode", choices=["batch", "scan"],
@@ -80,6 +83,9 @@ def main(argv=None) -> int:
     p_eval = sub.add_parser("eval", help="SI-SDR evaluation on held-out mixtures")
     _add_common(p_eval)
     p_eval.add_argument("--batches", type=int, default=8)
+    p_eval.add_argument("--best", action="store_true",
+                        help="use the best-held-out-eval checkpoint "
+                             "(workdir/best) instead of the latest")
 
     sub.add_parser("configs", help="list available config presets")
 
@@ -135,6 +141,9 @@ def main(argv=None) -> int:
         return 0
 
     exp = Experiment(cfg, workdir=args.workdir, resume=True)
+    if getattr(args, "best", False):
+        step = exp.restore_best()
+        print(f"using best checkpoint (step {step})")
     if args.cmd == "eval":
         out = exp.evaluate(num_batches=args.batches)
         for k, v in out.items():

@@ -22,6 +22,48 @@ def _cfg(ckpt_every=2):
     )
 
 
+def test_keep_best_checkpoint(tmp_path):
+    """train.keep_best: the checkpoint with the best held-out eval SI-SDRi
+    is retained under workdir/best (+ best.json), restore_best() loads it,
+    and the recorded metric matches the eval history's maximum."""
+    import json
+
+    cfg = _cfg()
+    cfg = cfg.replace(train=cfg.train.__class__(**{
+        **cfg.train.__dict__, "eval_every": 3}))
+    wd = str(tmp_path / "run")
+    exp = Experiment(cfg, workdir=wd)
+    exp.train(num_steps=9)
+
+    best_path = tmp_path / "run" / "best.json"
+    assert best_path.exists()
+    best = json.loads(best_path.read_text())
+    assert best["step"] % 3 == 0 and 0 < best["step"] <= 9
+    # best.json must equal the max of the eval rows in metrics.jsonl
+    evals = {}
+    with open(tmp_path / "run" / "metrics.jsonl") as f:
+        for line in f:
+            row = json.loads(line)
+            if "eval_si_sdr_improvement" in row:
+                evals[row["step"]] = row["eval_si_sdr_improvement"]
+    assert evals, "no in-loop eval rows written"
+    assert best["eval_si_sdr_improvement"] == pytest.approx(
+        max(evals.values()), abs=1e-6)
+
+    step = exp.restore_best()
+    assert step == best["step"]
+    assert int(exp.state.step) == best["step"]
+    exp.close()
+
+    # A fresh Experiment on the same workdir resumes from the LATEST
+    # checkpoint (training continuity), not the best one.
+    exp2 = Experiment(cfg, workdir=wd)
+    assert int(exp2.state.step) == 9
+    assert exp2._best_metric == pytest.approx(
+        best["eval_si_sdr_improvement"], abs=1e-6)
+    exp2.close()
+
+
 def test_save_restore_resume_bit_identical(tmp_path):
     cfg = _cfg()
     wd_a = str(tmp_path / "run_a")
