@@ -227,28 +227,53 @@ def test_complex_mask_learns_separation():
     """VERDICT r2 item 1 (CPU leg): the complex-mask GAN pipeline must
     actually LEARN separation, not just produce finite losses — positive
     eval SI-SDR improvement after a short train on music-like (vocal vs
-    accompaniment) fixtures at toy geometry."""
-    base = config.get_config("music_complex_44k")
-    cfg = base.replace(
-        dsp=base.dsp.__class__(**{**base.dsp.__dict__, "sample_rate": 8000,
-                                  "n_fft": 256, "hop_length": 64,
-                                  "win_length": 256}),
-        train=base.train.__class__(**{**base.train.__dict__,
-                                      "batch_size": 8, "log_every": 50}),
-        data=base.data.__class__(**{**base.data.__dict__,
-                                    "segment_seconds": 0.5,
-                                    "slot_profiles": ("vocal", "accomp")}),
-        model=base.model.__class__(**{**base.model.__dict__,
-                                      "g_channels": (8, 16),
-                                      "d_channels": (8, 16),
-                                      "compute_dtype": "float32"}),
+    accompaniment) fixtures at toy geometry.
+
+    Runs in a SUBPROCESS: this exact 150-step in-process train has
+    triggered an intermittent XLA-CPU `Fatal Python error: Aborted` four
+    times across rounds 2-3 (always this test, only under a long
+    in-process suite on the 1-CPU box) — isolation turns a suite-killing
+    abort into a plain test failure and sidesteps the in-process state
+    accumulation that correlates with it."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    code = """
+import jax
+jax.config.update("jax_platforms", "cpu")
+from gan_sass_tf_tpu import config
+from gan_sass_tf_tpu.train import Experiment
+
+base = config.get_config("music_complex_44k")
+cfg = base.replace(
+    dsp=base.dsp.__class__(**{**base.dsp.__dict__, "sample_rate": 8000,
+                              "n_fft": 256, "hop_length": 64,
+                              "win_length": 256}),
+    train=base.train.__class__(**{**base.train.__dict__,
+                                  "batch_size": 8, "log_every": 50}),
+    data=base.data.__class__(**{**base.data.__dict__,
+                                "segment_seconds": 0.5,
+                                "slot_profiles": ("vocal", "accomp")}),
+    model=base.model.__class__(**{**base.model.__dict__,
+                                  "g_channels": (8, 16),
+                                  "d_channels": (8, 16),
+                                  "compute_dtype": "float32"}),
+    mesh=base.mesh.__class__(data_axis_size=-1),
+)
+exp = Experiment(cfg, workdir=None)
+exp.train(num_steps=150)
+ev = exp.evaluate(num_batches=2)
+print("SI_SDRI_RESULT", ev["si_sdr_improvement"])
+"""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [_sys.executable, "-c", code], cwd=repo, timeout=900,
+        capture_output=True, text=True,
     )
-    exp = Experiment(cfg, workdir=None)
-    exp.train(num_steps=150)
-    ev = exp.evaluate(num_batches=2)
-    assert ev["si_sdr_improvement"] > 1.0, (
-        f"complex-mask training failed to separate: {ev}"
-    )
+    assert proc.returncode == 0, f"stderr:\n{proc.stderr[-3000:]}"
+    si = float(proc.stdout.split("SI_SDRI_RESULT")[-1])
+    assert si > 1.0, f"complex-mask training failed to separate: {si}"
 
 
 def test_wav_domain_recon_training():
