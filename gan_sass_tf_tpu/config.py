@@ -468,8 +468,13 @@ def _music() -> Config:
         # bf16 compute: +48% measured on this preset (G U-Net at the full
         # (257, 1025) grid dominates the step); complex masks still exit
         # f32 from the mask head.
+        # g_channels (64,64,128,256): full-grid conv cost is channel-
+        # INSENSITIVE up to C=64 on this geometry (16/32/64 ch all bench
+        # 410-418 mix-s/s — the layout pads the channel axis), so the
+        # wider level 0-1 is free and measures +0.9 dB held-out
+        # (+16.2 vs +15.3 @10k; C=128 finally costs −28%).
         model=ModelConfig(generator="conv", discriminator="conv",
-                          g_channels=(32, 64, 128, 256),
+                          g_channels=(64, 64, 128, 256),
                           d_channels=(32, 64, 128, 256),
                           compute_dtype="bfloat16", d_norm="spectral"),
         # Complex-spectrum (re, im) L1: the phase-aware domain — log-mag
