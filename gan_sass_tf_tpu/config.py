@@ -128,6 +128,16 @@ class ModelConfig:
     #                                The decoder carries ~85% of G's MACs at
     #                                the music geometry; 0.5 halves it while
     #                                keeping full (T, K) resolution.
+    g_dec_l0: str = "conv"         # conv G final (full-grid) decoder stage:
+    #                                "conv" = ConvTranspose + 3x3 conv at the
+    #                                full (T, K) grid; "subpixel" = 1x1
+    #                                expansion at the half grid +
+    #                                depth-to-space (channels <=128 pad to
+    #                                the 128 MXU lanes, so the full-grid
+    #                                3x3 pair carries ~45% of G's effective
+    #                                MACs at the music geometry for ~7% of
+    #                                the cost; per-bin detail re-enters
+    #                                through the encoder skip).
     d_channels: Tuple[int, ...] = (32, 64, 128)
     d_input_fold: int = 1          # fold this many time-frames into the D
     #                                input's channel dim ((B·S, T/f, K, 2f)

@@ -214,6 +214,11 @@ def _conv(cfg):
             f"g_head_mode must be 'dense' or 'interp', "
             f"got {cfg.model.g_head_mode!r}"
         )
+    if cfg.model.g_dec_l0 not in ("conv", "subpixel"):
+        raise ValueError(
+            f"g_dec_l0 must be 'conv' or 'subpixel', "
+            f"got {cfg.model.g_dec_l0!r}"
+        )
     if cfg.model.g_crop_nyquist and (
             cfg.dsp.feature_dim != cfg.dsp.n_bins
             or cfg.dsp.n_bins % 2 == 0):
@@ -240,6 +245,7 @@ def _conv(cfg):
         head_mode=cfg.model.g_head_mode,
         sample_rate=float(cfg.dsp.sample_rate),
         crop_nyquist=cfg.model.g_crop_nyquist,
+        dec_l0=cfg.model.g_dec_l0,
     )
 
 
@@ -267,6 +273,15 @@ class ConvUNetGenerator(nn.Module):
     decoder_slim: float = 1.0  # decoder channel multiplier (g_decoder_slim)
     head_mode: str = "dense"   # mel-feature mask head (ModelConfig.g_head_mode)
     sample_rate: float = 0.0
+    dec_l0: str = "conv"       # final (full-grid) decoder stage: "conv" =
+    #                            ConvTranspose + post-concat 3x3 at full
+    #                            (T, K); "subpixel" = 1x1 expansion at the
+    #                            half grid + depth-to-space (ModelConfig.
+    #                            g_dec_l0 — the full-grid 3x3 pair is ~45%
+    #                            of G's effective MACs at the music
+    #                            geometry because channels pad to the 128
+    #                            MXU lanes; the skip still supplies
+    #                            per-bin full-grid detail to the head)
     crop_nyquist: bool = False  # run the net on the even K-1 bin grid and
     #                             copy the top bin's mask from its neighbor:
     #                             n_bins = n_fft/2 + 1 is odd (1025 at the
@@ -316,8 +331,27 @@ class ConvUNetGenerator(nn.Module):
         x = nn.Conv(self.channels[-1], (3, 3), dtype=self.dtype)(x)
         x = nn.leaky_relu(x, self.leak)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        for c, skip in zip(reversed(self.channels), reversed(skips)):
+        for lvl, (c, skip) in enumerate(
+                zip(reversed(self.channels), reversed(skips))):
             cd = max(8, int(c * self.decoder_slim))
+            if self.dec_l0 == "subpixel" and lvl == len(self.channels) - 1:
+                # Light full-grid stage: ConvTranspose + post-concat 3x3 at
+                # the full (T, K) grid are ~45% of G's effective MACs at the
+                # music geometry (channels <= 128 pad to the 128 MXU lanes,
+                # so the grid — not the channel count — sets the cost).  A
+                # 1x1 expansion at the half grid + depth-to-space restores
+                # resolution for ~7% of that; the encoder skip re-injects
+                # per-bin full-grid detail straight into the mask head.
+                dt_, df_ = down
+                x = nn.Conv(cd * dt_ * df_, (1, 1), dtype=self.dtype)(x)
+                b, th, fh, _ = x.shape
+                x = x.reshape(b, th, fh, dt_, df_, cd)
+                x = x.transpose(0, 1, 3, 2, 4, 5).reshape(
+                    b, th * dt_, fh * df_, cd)
+                x = x[:, : skip.shape[1], : skip.shape[2], :]
+                x = nn.leaky_relu(x, self.leak)
+                x = jnp.concatenate([x, skip], axis=-1)
+                continue                 # the mask head (1x1) follows
             x = nn.ConvTranspose(cd, (3, 3), strides=down,
                                  dtype=self.dtype)(x)
             x = x[:, : skip.shape[1], : skip.shape[2], :]       # crop odd dims

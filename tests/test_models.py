@@ -259,6 +259,39 @@ def test_conv_generator_decoder_slim():
     assert leaves and all(np.isfinite(np.asarray(l)).all() for l in leaves)
 
 
+def test_conv_generator_subpixel_dec_l0():
+    """g_dec_l0='subpixel' replaces the full-grid ConvTranspose + 3x3 pair
+    with a half-grid 1x1 expansion + depth-to-space (the music-preset
+    speed lever) — the mask contract (shape/range/grads) must be unchanged,
+    including odd T/K grids that need the post-upsample crop."""
+    cfg = config.get_config("music_complex_44k")
+    cfg = cfg.replace(
+        data=cfg.data.__class__(**{**cfg.data.__dict__,
+                                   "segment_seconds": 0.1}),
+        model=cfg.model.__class__(**{**cfg.model.__dict__,
+                                     "g_dec_l0": "subpixel",
+                                     "g_channels": (8, 16)}),
+    )
+    g = models.build_generator(cfg)
+    feats = _feats(cfg)
+    params = g.init(jax.random.PRNGKey(0), feats)
+    masks = g.apply(params, feats)
+    s, k = cfg.data.num_sources, cfg.dsp.n_bins
+    assert masks.shape == (2, s, cfg.num_frames, k, 2)
+    assert np.abs(np.asarray(masks)).max() <= 1.0 + 1e-6
+
+    def loss(p):
+        return jnp.sum(g.apply(p, feats) ** 2)
+
+    leaves = jax.tree_util.tree_leaves(jax.grad(loss)(params))
+    assert leaves and all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+    with pytest.raises(ValueError, match="g_dec_l0"):
+        bad = cfg.replace(model=cfg.model.__class__(**{
+            **cfg.model.__dict__, "g_dec_l0": "nope"}))
+        models.build_generator(bad)
+
+
 def test_generator_grad_flow():
     cfg = config.get_config("2src_toy_cpu")
     g = models.build_generator(cfg)
