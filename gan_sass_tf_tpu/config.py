@@ -483,10 +483,17 @@ def _music() -> Config:
         # 410-418 mix-s/s — the layout pads the channel axis), so the
         # wider level 0-1 is free and measures +0.9 dB held-out
         # (+16.2 vs +15.3 @10k; C=128 finally costs −28%).
+        # d_stem_stride (4,8): +9.8% throughput (449.9 vs 409.7 mix-s/s)
+        # at measured-equal held-out quality (+16.16 vs +16.2 @10k easy,
+        # train-dist 16.93 vs 16.9) — the D stem at the (T, 1025) complex
+        # pair grid was the remaining D-side hot spot.  The deeper combo
+        # (+crop +seg 3.01 +b32) reaches 532 (+30%) but costs −0.8 dB
+        # held-out (BASELINE.md subpixel section) so it stays opt-in.
         model=ModelConfig(generator="conv", discriminator="conv",
                           g_channels=(64, 64, 128, 256),
                           d_channels=(32, 64, 128, 256),
-                          compute_dtype="bfloat16", d_norm="spectral"),
+                          compute_dtype="bfloat16", d_norm="spectral",
+                          d_stem_stride=(4, 8)),
         # Complex-spectrum (re, im) L1: the phase-aware domain — log-mag
         # recon left complex-mask phase unsupervised (measured -7 dB
         # SI-SDRi; with cspec the same toy task learns separation).
