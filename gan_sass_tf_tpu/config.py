@@ -192,9 +192,27 @@ class TrainConfig:
     batch_size: int = 8            # global batch (split over the data mesh axis)
     g_lr: float = 2e-4
     d_lr: float = 2e-4
+    g_lr_schedule: str = "constant"  # "constant" | "cosine" | "linear" decay
+    d_lr_schedule: str = "constant"  # of the per-optimizer lr over
+    #                                lr_decay_steps down to lr * lr_end_factor.
+    #                                A D lr decay is a standard anti-saturation
+    #                                tool (the hard-protocol rows measure
+    #                                d_loss -> ~0 by 10k steps — D has won and
+    #                                G's adversarial gradient vanishes).
+    lr_decay_steps: int = 0        # schedule horizon (required > 0 when any
+    #                                schedule is non-constant; the optimizer
+    #                                step count, not wall-clock)
+    lr_end_factor: float = 0.1     # final lr = base lr * this factor
     beta1: float = 0.5
     beta2: float = 0.999
     d_steps: int = 1               # D updates per G update (alternating schedule)
+    r1_gamma: float = 0.0          # zero-centered R1 gradient penalty on D's
+    #                                REAL inputs: + (gamma/2) E[||dD/dx||^2]
+    #                                in the D loss (Mescheder et al. 2018).
+    #                                Keeps a winning D's decision surface
+    #                                flat around the data so its gradient to
+    #                                G stays informative instead of
+    #                                saturating.  0 disables.
     steps_per_dispatch: int = 1    # lax.scan this many optimizer steps per
     #                                jitted call (device-bank mode only) —
     #                                amortizes per-dispatch host/relay
@@ -217,6 +235,11 @@ class TrainConfig:
     log_every: int = 50
     ckpt_every: int = 1000
     eval_every: int = 1000
+    eval_batches: int = 8          # batches per in-loop evaluate() — this
+    #                                metric drives keep_best selection, so it
+    #                                must average enough eval sampling noise
+    #                                (±0.3 dB bound noise at 4 batches was
+    #                                comparable to real checkpoint deltas)
     keep_best: bool = True         # retain the checkpoint with the best
     #                                held-out eval SI-SDRi in workdir/best
     #                                (measured: the eval metric peaks well
@@ -230,6 +253,18 @@ class TrainConfig:
     def __post_init__(self):
         if not 0.0 <= self.g_ema < 1.0:
             raise ValueError(f"g_ema must be in [0, 1), got {self.g_ema}")
+        for kind in (self.g_lr_schedule, self.d_lr_schedule):
+            if kind not in ("constant", "cosine", "linear"):
+                raise ValueError(
+                    f"lr schedule must be constant/cosine/linear, got {kind!r}"
+                )
+            if kind != "constant" and self.lr_decay_steps <= 0:
+                raise ValueError(
+                    f"{kind!r} lr schedule needs lr_decay_steps > 0 "
+                    "(the decay horizon in optimizer steps)"
+                )
+        if self.r1_gamma < 0.0:
+            raise ValueError(f"r1_gamma must be >= 0, got {self.r1_gamma}")
 
 
 @dataclass(frozen=True)

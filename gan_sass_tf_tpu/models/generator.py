@@ -291,6 +291,12 @@ class ConvUNetGenerator(nn.Module):
 
     @nn.compact
     def __call__(self, feats: jax.Array, train: bool = False) -> jax.Array:
+        if self.dec_l0 not in ("conv", "subpixel"):
+            # The registry builder validates too, but direct construction
+            # must fail loudly as well — a misspelled dec_l0 would otherwise
+            # silently fall through to the ConvTranspose path (r3 advisor).
+            raise ValueError(f"dec_l0 must be 'conv' or 'subpixel', "
+                             f"got {self.dec_l0!r}")
         crop = (self.crop_nyquist and self.feature_dim == self.n_bins
                 and feats.shape[2] == self.n_bins and self.n_bins % 2 == 1)
         if crop:

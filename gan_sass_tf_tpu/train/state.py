@@ -28,14 +28,34 @@ class TrainState:
     #                              node, so checkpoints/sharding ignore it
 
 
+def _lr_schedule(cfg, base_lr: float, kind: str):
+    """Per-optimizer learning-rate schedule (TrainConfig.{g,d}_lr_schedule).
+    The decayed schedules run over train.lr_decay_steps down to
+    base_lr * train.lr_end_factor and hold there (optax counts the
+    optimizer's own update steps, so G and D each follow their own clock)."""
+    if kind == "constant":
+        return base_lr
+    end = base_lr * cfg.train.lr_end_factor
+    n = cfg.train.lr_decay_steps
+    if kind == "cosine":
+        return optax.cosine_decay_schedule(
+            base_lr, n, alpha=cfg.train.lr_end_factor
+        )
+    if kind == "linear":
+        return optax.linear_schedule(base_lr, end, n)
+    raise ValueError(f"unknown lr schedule {kind!r}")
+
+
 def make_optimizers(cfg) -> Tuple[optax.GradientTransformation, optax.GradientTransformation]:
-    def tx(lr):
+    def tx(lr, kind):
         return optax.chain(
             optax.clip_by_global_norm(cfg.train.grad_clip),
-            optax.adam(lr, b1=cfg.train.beta1, b2=cfg.train.beta2),
+            optax.adam(_lr_schedule(cfg, lr, kind),
+                       b1=cfg.train.beta1, b2=cfg.train.beta2),
         )
 
-    return tx(cfg.train.g_lr), tx(cfg.train.d_lr)
+    return (tx(cfg.train.g_lr, cfg.train.g_lr_schedule),
+            tx(cfg.train.d_lr, cfg.train.d_lr_schedule))
 
 
 def create_train_state(cfg, g, d, rng: jax.Array) -> TrainState:

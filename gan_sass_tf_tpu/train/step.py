@@ -157,18 +157,40 @@ def build_train_step(cfg, g, d, axis_names: Tuple[str, ...] = (),
             return x
         return x + d_noise * jax.random.normal(rng, x.shape, x.dtype)
 
+    r1_gamma = float(cfg.train.r1_gamma)
+
     def d_loss_fn(d_params, d_stats, x, rng):
         # x = concat(real-pair, fake-pair) D input, built ONCE per step
         # outside the grads (VERDICT r1: it is a stop-gradient constant in
         # the D loss, so no per-d_step rebuild and no duplicate G forward).
         # Real+fake through one D pass: one big MXU-friendly batch, and BN
         # stats see the same distribution every step.
-        rng, rng_n = jax.random.split(rng)
+        rng, rng_n, rng_r1 = jax.random.split(rng, 3)
         x = _with_instance_noise(x, rng_n)
         logits, new_stats = d_apply(d_params, d_stats, x, update_stats=True,
                                     rng=rng)
         real, fake = jnp.split(logits, 2)
         loss = gan_d_loss(real, fake, lcfg.gan_loss)
+        if r1_gamma > 0.0:
+            # Zero-centered R1 gradient penalty (Mescheder et al. 2018):
+            # (gamma/2) E[||d D(x)/d x||^2] on the REAL inputs D sees.
+            # Penalizing D's input-gradient norm around the data keeps its
+            # decision surface from steepening without bound once it wins —
+            # the measured hard-protocol failure mode (d_loss -> ~0, G's
+            # adversarial gradient gone).  One extra D fwd+bwd on the real
+            # half; the outer d_params grad differentiates THROUGH this
+            # input-grad (the whole point — the penalty shapes D).
+            x_real = jnp.split(x, 2)[0].astype(jnp.float32)
+
+            def real_logit_sum(xr):
+                lg, _ = d_apply(d_params, d_stats, xr.astype(x.dtype),
+                                update_stats=False, rng=rng_r1)
+                return jnp.sum(lg.astype(jnp.float32))
+
+            gx = jax.grad(real_logit_sum)(x_real)
+            r1 = jnp.mean(jnp.sum(
+                jnp.square(gx), axis=tuple(range(1, gx.ndim))))
+            loss = loss + 0.5 * r1_gamma * r1
         return loss, (new_stats, real.mean(), fake.mean())
 
     # ---- full step -------------------------------------------------------

@@ -1,8 +1,9 @@
-"""Quality protocol runner (VERDICT r2 items 1-2): train a preset on-chip,
-report eval SI-SDR improvement AND the oracle-mask ceiling for the task —
-the gap is the modeling headroom future rounds optimize.
+"""Quality protocol runner (VERDICT r2 items 1-2, r3 item 3): train a preset
+on-chip, report eval SI-SDR improvement AND the oracle-mask ceiling for the
+task — the gap is the modeling headroom future rounds optimize.
 
-    python scripts/quality_protocol.py PRESET [STEPS] [--hard] [--set k=v ...]
+    python scripts/quality_protocol.py PRESET [STEPS] [--hard]
+        [--seeds 0,7,13] [--set k=v ...]
 
 --hard applies the headroom protocol (BASELINE.json:2 kept a live axis):
 shared-f0 synthetic speakers (slot identity = timbre/modulation only, heavy
@@ -10,9 +11,17 @@ T-F overlap) + Gaussian noise at 10 dB SNR.  For music_complex_44k the
 vocal/accomp slot profiles are applied automatically (BASELINE.json:10
 stand-ins; no real corpora in this env).
 
+--seeds runs the FULL train/eval once per seed (default: just seed 0) and
+reports the mean ± half-range — the protocol owns seed averaging (measured
+±1.3 dB task-seed variance on hard rows; single-seed deltas below that are
+noise).  Seeds reuse the compiled step fns via Experiment.reseed, so extra
+seeds cost train time only, not compile time.
+
 Prints one JSON line:
-  {"preset":..., "hard":..., "steps":..., "si_sdr_improvement":...,
-   "oracle_bound":..., "headroom":..., "d_loss":...}
+  {"preset":..., "hard":..., "steps":..., "seeds":[...],
+   "si_sdr_improvement":<mean>, "si_sdr_improvement_per_seed":[...],
+   "si_sdr_improvement_half_range":..., "oracle_bound":<mean>,
+   "headroom":..., "d_loss":...}
 """
 
 from __future__ import annotations
@@ -71,20 +80,23 @@ def oracle_bound_on_eval(exp, num_batches: int = 4) -> float:
 def main(argv) -> int:
     from gan_sass_tf_tpu.train import Experiment
 
-    args = [a for a in argv if not a.startswith("--")]
     hard = "--hard" in argv
-    overrides = []
+    overrides, seeds, skip = [], [0], set()
     for i, a in enumerate(argv):
         if a == "--set" and i + 1 < len(argv):
             overrides.append(argv[i + 1])
-    if overrides:
-        args = [a for a in args if a not in overrides]
+            skip.update((i, i + 1))
+        elif a == "--seeds" and i + 1 < len(argv):
+            seeds = [int(s) for s in argv[i + 1].split(",")]
+            skip.update((i, i + 1))
+        elif a.startswith("--"):
+            skip.add(i)
+    args = [a for i, a in enumerate(argv) if i not in skip]
     preset = args[0] if args else "stream_v5e8"
     steps = int(args[1]) if len(args) > 1 else 10_000
 
     cfg = protocol_config(preset, hard, overrides)
     exp = Experiment(cfg, workdir=None)
-    last = {}
 
     def log(step, m):
         if step % max(cfg.train.log_every * 10, 1) < cfg.train.log_every:
@@ -92,27 +104,56 @@ def main(argv) -> int:
                   f"thr={m['mixture_sec_per_sec']:.0f}", file=sys.stderr,
                   flush=True)
 
-    metrics = exp.train(num_steps=steps, log_fn=log)
-    ev = exp.evaluate(num_batches=8)
-    bound = oracle_bound_on_eval(exp, num_batches=8)
-    # Train-distribution eval alongside the held-out one: the gap between
-    # them is the generalization gap, reported per row for free.
     from gan_sass_tf_tpu.data import make_dataset
 
-    tr_ds = make_dataset(cfg, seed=cfg.train.seed + 4242, split="train")
-    ev_tr = exp.evaluate(num_batches=8, dataset=tr_ds)
+    per_seed = []
+    for seed in seeds:
+        exp.reseed(seed)   # fresh state/bank/datasets, compiled fns reused
+        metrics = exp.train(num_steps=steps, log_fn=log)
+        ev = exp.evaluate(num_batches=8)
+        bound = oracle_bound_on_eval(exp, num_batches=8)
+        # Train-distribution eval alongside the held-out one: the gap
+        # between them is the generalization gap, reported per row.
+        tr_ds = make_dataset(cfg, seed=seed + 4242, split="train")
+        ev_tr = exp.evaluate(num_batches=8, dataset=tr_ds)
+        per_seed.append({
+            "seed": seed,
+            "si_sdr_improvement": ev["si_sdr_improvement"],
+            "si_sdr_improvement_train_dist": ev_tr["si_sdr_improvement"],
+            "oracle_bound": bound,
+            "d_loss": metrics.get("d_loss", float("nan")),
+            "throughput": metrics.get("mixture_sec_per_sec", 0.0),
+        })
+        print(f"seed {seed}: held-out "
+              f"{ev['si_sdr_improvement']:+.2f} dB (train-dist "
+              f"{ev_tr['si_sdr_improvement']:+.2f}, bound {bound:.2f})",
+              file=sys.stderr, flush=True)
+
+    def mean(key):
+        return sum(r[key] for r in per_seed) / len(per_seed)
+
+    def half_range(key):
+        vals = [r[key] for r in per_seed]
+        return (max(vals) - min(vals)) / 2.0
+
     out = {
         "preset": preset,
         "hard": hard,
         "steps": steps,
-        "si_sdr_improvement": round(ev["si_sdr_improvement"], 2),
+        "seeds": seeds,
+        "si_sdr_improvement": round(mean("si_sdr_improvement"), 2),
+        "si_sdr_improvement_per_seed": [
+            round(r["si_sdr_improvement"], 2) for r in per_seed],
+        "si_sdr_improvement_half_range": round(
+            half_range("si_sdr_improvement"), 2),
         "si_sdr_improvement_train_dist": round(
-            ev_tr["si_sdr_improvement"], 2),
-        "oracle_bound": round(bound, 2),
-        "headroom": round(bound - ev["si_sdr_improvement"], 2),
-        "d_loss": round(metrics.get("d_loss", float("nan")), 4),
+            mean("si_sdr_improvement_train_dist"), 2),
+        "oracle_bound": round(mean("oracle_bound"), 2),
+        "headroom": round(
+            mean("oracle_bound") - mean("si_sdr_improvement"), 2),
+        "d_loss": round(mean("d_loss"), 4),
         "d_norm": cfg.model.d_norm,
-        "throughput": round(metrics.get("mixture_sec_per_sec", 0.0), 1),
+        "throughput": round(mean("throughput"), 1),
     }
     print(json.dumps(out))
     return 0

@@ -27,3 +27,18 @@ def test_duplicate_registration_raises():
 def test_win_length_validation():
     with pytest.raises(ValueError, match="win_length"):
         config.DSPConfig(n_fft=128, win_length=256)
+
+
+def test_lr_schedule_validation():
+    with pytest.raises(ValueError, match="lr_decay_steps"):
+        config.TrainConfig(d_lr_schedule="cosine")
+    with pytest.raises(ValueError, match="constant/cosine/linear"):
+        config.TrainConfig(g_lr_schedule="exponential", lr_decay_steps=10)
+    # valid combinations construct
+    config.TrainConfig(d_lr_schedule="cosine", g_lr_schedule="linear",
+                       lr_decay_steps=100, lr_end_factor=0.05)
+
+
+def test_r1_gamma_validation():
+    with pytest.raises(ValueError, match="r1_gamma"):
+        config.TrainConfig(r1_gamma=-0.1)
