@@ -117,6 +117,17 @@ class ModelConfig:
     #                                the hidden state — position-free).
     g_film_channels: int = 64      # width of the "film" head's dilated
     #                                bin-local conv stack
+    g_film_fold: int = 8           # conv-trunk "film" head only: lane-packing
+    #                                factor — the head runs on a
+    #                                (T, K/f, f·C) relayout of the full-grid
+    #                                input so its activations FILL the 128
+    #                                MXU lanes instead of padding them (a
+    #                                full-grid C<=64 tensor pads to 128
+    #                                lanes; measured channel-insensitivity
+    #                                on music proves the padding dominates).
+    #                                Full per-bin information is preserved;
+    #                                weights are position-free across cells
+    #                                (periodic within one f-cell).
     g_crop_nyquist: bool = False   # conv G: run on the even K-1 bin grid,
     #                                copy the top bin's mask from its
     #                                neighbor — n_bins = n_fft/2+1 is odd,
@@ -330,6 +341,16 @@ class StreamConfig:
     chunk_seconds: float = 1.0
     overlap_frames: int = 4        # cross-fade overlap, in STFT hops
     batch_chunks: int = 8          # chunks batched per pjit dispatch
+    perm_hysteresis: float = 1e-3  # chunk-to-chunk permutation chaining:
+    #                                only switch away from the previous
+    #                                chunk's source assignment when the L2
+    #                                improvement exceeds this fraction of
+    #                                the overlap-strip energy.  A NEAR-SILENT
+    #                                overlap gives the matcher no evidence —
+    #                                without the margin, noise-level L2
+    #                                differences can flip sources mid-stream
+    #                                (the hard protocol's failure mode).
+    #                                0 restores pure-argmin matching.
 
 
 @dataclass(frozen=True)

@@ -51,39 +51,58 @@ def _chunk_geometry(cfg, total: int):
 
 
 def _chain_permutations(
-    heads: np.ndarray, tails: np.ndarray
+    heads: np.ndarray, tails: np.ndarray, hysteresis: float = 1e-3,
+    scale: float | None = None,
 ) -> np.ndarray:
     """heads/tails (N, S, overlap): per-chunk source permutation (N, S) that
     aligns each chunk to the previous chunk's (aligned) tail on the shared
     overlap region — greedy chain, exact for S ≤ 3 via full permutation
     search.  Operates on the small overlap strips only, so the full chunk
     tensor can stay on device (the per-chunk host fetches were the batch
-    streamer's bottleneck through this environment's relay)."""
+    streamer's bottleneck through this environment's relay).
+
+    `hysteresis`: keep the PREVIOUS chunk's assignment unless a competing
+    permutation improves the L2 by more than hysteresis * scale * (S *
+    overlap).  `scale` must be the STREAM's typical per-sample energy (mean
+    squared amplitude over whole chunks — defaults to the strips' own, but
+    callers pass the full-chunk statistic): a near-silent overlap (pause
+    between notes/words — routine in the hard protocol's noisy material)
+    carries no matching evidence, and pure argmin would let noise-level L2
+    differences flip sources mid-stream.  The margin therefore must NOT
+    shrink with the strip energy — it is the stream's loudness that defines
+    "near-silent".  A deterministic separator's output order is stable
+    across chunks, so keeping the previous assignment is the right prior
+    exactly when the evidence vanishes; genuine (loud) swaps exceed the
+    margin by orders of magnitude and are still corrected."""
     n, s, _ = heads.shape
     out = np.tile(np.arange(s), (n, 1))
     if s == 1 or n == 1 or heads.shape[-1] == 0:
         return out
+    if scale is None:
+        scale = float(np.mean(heads ** 2) + np.mean(tails ** 2)) / 2.0
+    margin = hysteresis * scale * s * heads.shape[-1]
     perms = list(itertools.permutations(range(s)))
     for i in range(1, n):
         prev_tail = tails[i - 1][out[i - 1]]         # aligned (S, overlap)
         head = heads[i]                              # (S, overlap)
-        best, best_err = None, None
-        for p in perms:
-            err = float(np.sum((head[list(p)] - prev_tail) ** 2))
-            if best_err is None or err < best_err:
-                best, best_err = p, err
-        out[i] = best
+        errs = {p: float(np.sum((head[list(p)] - prev_tail) ** 2))
+                for p in perms}
+        best = min(errs, key=errs.get)
+        keep = tuple(out[i - 1])                     # previous assignment
+        out[i] = best if errs[best] < errs[keep] - margin else keep
     return out
 
 
 def _align_chunk_permutations(
-    chunks: np.ndarray, stride: int, overlap: int
+    chunks: np.ndarray, stride: int, overlap: int, hysteresis: float = 1e-3
 ) -> np.ndarray:
     """chunks (N, S, T_c): reorder each chunk's sources to match the previous
     chunk on the shared overlap region (host-array convenience wrapper
     around _chain_permutations)."""
     perm = _chain_permutations(chunks[:, :, :overlap],
-                               chunks[:, :, stride : stride + overlap])
+                               chunks[:, :, stride : stride + overlap],
+                               hysteresis,
+                               scale=float(np.mean(chunks ** 2)))
     return np.take_along_axis(chunks, perm[:, :, None], axis=1)
 
 
@@ -133,13 +152,21 @@ def build_streaming_scan_fn(cfg, g):
     if ext:
         ext = -(-ext // hop) * hop
 
+    hyst = float(cfg.stream.perm_hysteresis)
+
     def scan_separate(g_params, chunks):
         t_c = chunks.shape[-1] - ext                # OLA span of each chunk
         stride = t_c - overlap
         ramp = (jnp.arange(1, overlap + 1) / (overlap + 1)).astype(jnp.float32)
 
-        def body(carry_tail, xs):
-            # carry_tail: (S, overlap) — previous chunk's fade-out segment.
+        def body(carry, xs):
+            # carry: (prev fade-out tail (S, overlap), prev perm index) —
+            # the perm index gives the chaining its hysteresis: a
+            # deterministic separator's output order is stable, so when the
+            # overlap is near-silent (no matching evidence) we keep the
+            # previous assignment instead of letting noise-level L2
+            # differences flip sources mid-stream (hard-protocol material).
+            carry_tail, prev_idx = carry
             chunk, i = xs
             wavs = separate(g_params, chunk[None])[0][:, :t_c]  # (S, T_c)
             # Match source order to the carried tail (L2 over the overlap).
@@ -148,7 +175,13 @@ def build_streaming_scan_fn(cfg, g):
                 [jnp.sum((head[jnp.asarray(p)] - carry_tail) ** 2)
                  for p in perms]
             )
-            wavs = wavs[jnp.asarray(perms)[jnp.argmin(errs)]]
+            best = jnp.argmin(errs)
+            # Margin scale = the raw input chunk's loudness, NOT the strip's
+            # (a near-silent strip is exactly when the margin must hold).
+            margin = hyst * jnp.mean(chunk ** 2) * (s * overlap)
+            sel = jnp.where(errs[best] < errs[prev_idx] - margin,
+                            best, prev_idx)
+            wavs = wavs[jnp.asarray(perms)[sel]]
             head = wavs[:, :overlap]
             # Cross-fade the overlap against the carried tail — except on
             # chunk 0, whose carry is the zero init (fading against it would
@@ -160,11 +193,12 @@ def build_streaming_scan_fn(cfg, g):
             out_seg = jnp.concatenate(
                 [faded, wavs[:, overlap:stride]], axis=-1
             )                                                    # (S, stride)
-            return wavs[:, stride:], out_seg
+            return (wavs[:, stride:], sel), out_seg
 
-        init_tail = jnp.zeros((s, overlap), jnp.float32)
+        init = (jnp.zeros((s, overlap), jnp.float32),
+                jnp.zeros((), jnp.int32))            # identity perm index
         idx = jnp.arange(chunks.shape[0])
-        final_tail, segs = jax.lax.scan(body, init_tail, (chunks, idx))
+        (final_tail, _), segs = jax.lax.scan(body, init, (chunks, idx))
         return segs, final_tail          # (N, S, stride), (S, overlap)
 
     return scan_separate
@@ -267,6 +301,11 @@ def separate_streaming(
     strips = np.asarray(jnp.concatenate(
         [est[:, :, :overlap], est[:, :, stride : stride + overlap]], axis=-1
     ))                                                    # (N, S, 2*overlap)
-    perm = _chain_permutations(strips[..., :overlap], strips[..., overlap:])
+    # Margin scale = the INPUT stream's loudness (host-resident already;
+    # the separated strips can be near-silent exactly when matching
+    # evidence vanishes, which is when the margin must hold firm).
+    perm = _chain_permutations(strips[..., :overlap], strips[..., overlap:],
+                               cfg.stream.perm_hysteresis,
+                               scale=float(np.mean(chunks ** 2)))
     full = _finalize_stream(est, jnp.asarray(perm), stride, overlap)
     return np.asarray(full)[..., :t_in]

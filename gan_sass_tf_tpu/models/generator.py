@@ -60,6 +60,8 @@ class MaskHead(nn.Module):
     noise_slot: bool = False  # softmax only: S+1 slots, last one discarded —
     #                           sink for mixture noise (DSPConfig.mask_noise_slot)
     film_channels: int = 64   # width of the "film" head's bin-local convs
+    film_fold: int = 8        # conv-trunk film head: lane-packing factor
+    #                           (ModelConfig.g_film_fold)
 
     @nn.compact
     def __call__(self, h: jax.Array, x_ref: jax.Array | None = None
@@ -72,7 +74,62 @@ class MaskHead(nn.Module):
             s = s + 1  # extra slot participates in the softmax, then dropped
             #            (magnitude-softmax only — DSPConfig validates; the
             #            complex tanh exit below has no slot-drop)
-        if self.head_mode == "film" and h.ndim == 3:
+        if ((self.head_mode == "film" and h.ndim == 4)
+                or self.head_mode == "filmpack"):
+            # Packed film head for CONV trunks (round 4, VERDICT r3 item 1):
+            # the trunk runs on a fold-reduced grid (cheap); full-grid mask
+            # synthesis happens here, on a LANE-PACKED relayout of the
+            # full-resolution input — (B, T, K) -> (B, T, K/f, f) — so the
+            # head's activations fill the 128 MXU lanes that a full-grid
+            # C<=64 tensor would pad (the measured music channel-
+            # insensitivity: 16/32/64-ch convs all cost the same, i.e. the
+            # lanes are idle).  Per-bin detail is fully preserved (the fold
+            # is a relayout, not a decimation); a (3,3) conv over
+            # (T, K/f cells) sees +-f bins per layer with full in-cell
+            # mixing — a superset of bin-local convs with period-f weight
+            # sharing, so masks cannot memorize absolute pitch (the r3
+            # position-freeness lesson).  The trunk enters as FiLM
+            # modulation, nearest-resized to the cell grid.
+            if x_ref is None or x_ref.shape[-1] != self.n_bins:
+                raise ValueError(
+                    f"head_mode={self.head_mode!r} needs the full-grid "
+                    f"input spectrogram (n_bins={self.n_bins}) as x_ref"
+                )
+            f, c = self.film_fold, self.film_channels
+            kp = -(-self.n_bins // f) * f
+            x = jnp.pad(x_ref, ((0, 0), (0, 0), (0, kp - self.n_bins)))
+            b, t = x.shape[:2]
+            cells = kp // f
+            x = x.reshape(b, t, cells, f).astype(self.dtype)
+            # Smooth per-cell position encoding (position as an input
+            # feature, never a learned per-bin weight — r3's film-v1
+            # lesson: without it the head underfits).
+            k_pos = jnp.linspace(0.0, 1.0, cells, dtype=self.dtype)
+            enc = jnp.stack(
+                [k_pos] + [jnp.sin(2.0 * jnp.pi * k_pos * q)
+                           for q in (1.0, 2.0, 4.0, 8.0)], axis=-1)
+            enc = jnp.broadcast_to(enc[None, None],
+                                   (b, t, cells, enc.shape[-1]))
+            x = jnp.concatenate([x, enc], axis=-1)
+            # Context source: a conv trunk arrives as a (reduced) grid; a
+            # sequence trunk ("filmpack", e.g. the BiLSTM) as per-frame
+            # hidden state — broadcast over cells.  Either way the trunk
+            # enters ONLY as FiLM modulation (position-free).
+            ctx4 = h if h.ndim == 4 else h[:, :, None, :]
+            ctx = jax.image.resize(
+                ctx4.astype(self.dtype),
+                (ctx4.shape[0], t, cells, ctx4.shape[-1]), "nearest")
+            for dil in (1, 2, 4):
+                x = nn.Conv(c, (3, 3), kernel_dilation=(1, dil),
+                            dtype=self.dtype)(x)
+                gb = nn.Conv(2 * c, (1, 1), dtype=self.dtype)(ctx)
+                gamma, beta = jnp.split(gb, 2, axis=-1)
+                x = jax.nn.leaky_relu(x * (1.0 + gamma) + beta, 0.2)
+            out = nn.Conv(f * s * mc, (1, 1), dtype=self.dtype)(x)
+            out = out.reshape(b, t, cells, f, s, mc)
+            out = out.reshape(b, t, kp, s, mc)[:, :, :self.n_bins]
+            out = jnp.moveaxis(out, 3, 1)                       # (B,S,T,K,mc)
+        elif self.head_mode == "film" and h.ndim == 3:
             # Position-free head for sequence trunks: the Dense hidden→K map
             # below can memorize trained pitch positions (measured ~11 dB
             # held-out generalization gap on 3src_pit — BASELINE.md round 3,
@@ -209,10 +266,16 @@ def _conv(cfg):
             f"g_stem_mode must be 'conv' or 'fold', "
             f"got {cfg.model.g_stem_mode!r}"
         )
-    if cfg.model.g_head_mode not in ("dense", "interp"):
+    if cfg.model.g_head_mode not in ("dense", "interp", "film"):
         raise ValueError(
-            f"g_head_mode must be 'dense' or 'interp', "
+            f"conv g_head_mode must be 'dense', 'interp' or 'film', "
             f"got {cfg.model.g_head_mode!r}"
+        )
+    if (cfg.model.g_head_mode == "film"
+            and cfg.dsp.feature_dim != cfg.dsp.n_bins):
+        raise ValueError(
+            "conv g_head_mode='film' needs linear-grid input features "
+            f"(feature_dim {cfg.dsp.feature_dim} != n_bins {cfg.dsp.n_bins})"
         )
     if cfg.model.g_dec_l0 not in ("conv", "subpixel"):
         raise ValueError(
@@ -246,6 +309,8 @@ def _conv(cfg):
         sample_rate=float(cfg.dsp.sample_rate),
         crop_nyquist=cfg.model.g_crop_nyquist,
         dec_l0=cfg.model.g_dec_l0,
+        film_channels=cfg.model.g_film_channels,
+        film_fold=cfg.model.g_film_fold,
     )
 
 
@@ -271,8 +336,15 @@ class ConvUNetGenerator(nn.Module):
     stem_mode: str = "conv"    # "conv" (strided-conv decimation) or "fold"
     #                            (lossless space-to-depth relayout)
     decoder_slim: float = 1.0  # decoder channel multiplier (g_decoder_slim)
-    head_mode: str = "dense"   # mel-feature mask head (ModelConfig.g_head_mode)
+    head_mode: str = "dense"   # mask head (ModelConfig.g_head_mode): "film"
+    #                            = lane-packed bin-local head over the
+    #                            full-grid input, FiLM-modulated by the
+    #                            (fold-reduced) trunk — replaces the
+    #                            subpixel stem-restore as the full-grid
+    #                            synthesis stage
     sample_rate: float = 0.0
+    film_channels: int = 64    # packed film head width
+    film_fold: int = 8         # packed film head lane-packing factor
     dec_l0: str = "conv"       # final (full-grid) decoder stage: "conv" =
     #                            ConvTranspose + post-concat 3x3 at full
     #                            (T, K); "subpixel" = 1x1 expansion at the
@@ -366,9 +438,12 @@ class ConvUNetGenerator(nn.Module):
             x = nn.Conv(cd, (3, 3), dtype=self.dtype)(x)
             x = nn.leaky_relu(x, self.leak)
             x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        if (st, sf) != (1, 1):
+        if (st, sf) != (1, 1) and self.head_mode != "film":
             # Subpixel head: restore the full (T, F) grid from the stem-
             # reduced one — a 1x1 conv emits st*sf sub-positions per cell.
+            # (The film head does its own full-grid synthesis from the
+            # lane-packed input, so no restore is needed there — the trunk
+            # output stays at the reduced grid and enters as FiLM context.)
             # Full-grid channels are capped at 32 (the baseline head width):
             # full-grid tensors dominate HBM traffic, so a wide reduced-grid
             # net must not widen the restored grid with it.
@@ -393,7 +468,9 @@ class ConvUNetGenerator(nn.Module):
             dtype=self.dtype,
             head_mode=self.head_mode,
             sample_rate=self.sample_rate,
-        )(x)
+            film_channels=self.film_channels,
+            film_fold=self.film_fold,
+        )(x, x_ref=(x_full[..., 0] if self.head_mode == "film" else None))
         if crop:
             # Nyquist-bin mask := its neighbor's (axis 3 = bins; works for
             # both magnitude (B,S,T,K) and complex (B,S,T,K,2) masks).
@@ -406,12 +483,12 @@ def _bilstm(cfg):
     if cfg.model.g_crop_nyquist:
         raise ValueError("g_crop_nyquist is only supported by the 'conv' "
                          "generator")
-    if cfg.model.g_head_mode not in ("dense", "film"):
+    if cfg.model.g_head_mode not in ("dense", "film", "filmpack"):
         raise ValueError(
-            "bilstm g_head_mode must be 'dense' or 'film', "
+            "bilstm g_head_mode must be 'dense', 'film' or 'filmpack', "
             f"got {cfg.model.g_head_mode!r}"
         )
-    if (cfg.model.g_head_mode == "film"
+    if (cfg.model.g_head_mode in ("film", "filmpack")
             and cfg.dsp.feature_dim != cfg.dsp.n_bins):
         raise ValueError(
             "g_head_mode='film' needs linear-grid input features "
@@ -429,6 +506,7 @@ def _bilstm(cfg):
         dtype=jnp.dtype(cfg.model.compute_dtype),
         head_mode=cfg.model.g_head_mode,
         film_channels=cfg.model.g_film_channels,
+        film_fold=cfg.model.g_film_fold,
     )
 
 
@@ -446,8 +524,13 @@ class BiLSTMGenerator(nn.Module):
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
     head_mode: str = "dense"   # "dense" (hidden→K projection; can memorize
-    #                            bin positions) | "film" (position-free)
+    #                            bin positions) | "film" (position-free,
+    #                            full-grid bin-local convs) | "filmpack"
+    #                            (position-free AND lane-packed — same
+    #                            function family as "film" at ~f x less
+    #                            full-grid activation traffic)
     film_channels: int = 64
+    film_fold: int = 8
 
     @nn.compact
     def __call__(self, feats: jax.Array, train: bool = False) -> jax.Array:
@@ -462,5 +545,5 @@ class BiLSTMGenerator(nn.Module):
             self.num_sources, self.n_bins, self.mask_type,
             self.mask_activation, feat_is_linear=False, dtype=self.dtype,
             noise_slot=self.noise_slot, head_mode=self.head_mode,
-            film_channels=self.film_channels,
+            film_channels=self.film_channels, film_fold=self.film_fold,
         )(h, x_ref=x0)   # standardized once; the film head reuses it

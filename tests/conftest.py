@@ -35,3 +35,26 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(1234)
+
+
+def _slow_test_ids():
+    """tests/slow_tests.txt — measured-duration slow tier (VERDICT r3
+    item 8: the full suite runs ~40 min on the CPU mesh; the default inner
+    loop should be `pytest -m "not slow"` at ~5 min).  Regenerate the list
+    from `pytest --durations=0` when the suite's shape changes."""
+    path = os.path.join(os.path.dirname(__file__), "slow_tests.txt")
+    try:
+        with open(path) as f:
+            return {
+                line.strip() for line in f
+                if line.strip() and not line.startswith("#")
+            }
+    except FileNotFoundError:
+        return set()
+
+
+def pytest_collection_modifyitems(config, items):
+    slow = _slow_test_ids()
+    for item in items:
+        if item.nodeid in slow:
+            item.add_marker(pytest.mark.slow)

@@ -301,3 +301,43 @@ def test_streaming_win_length_no_boundary_dips(g_params):
         # and specifically: no near-zero bands inside the stream
         seg_energy = np.convolve(np.abs(a), np.ones(64) / 64, mode="valid")
         assert seg_energy.min() > 0.25 * seg_energy.max(), mode_fn.__name__
+
+
+def test_streaming_perm_hysteresis_near_silent_overlap():
+    """A NEAR-SILENT overlap region carries no matching evidence; without
+    the hysteresis margin, adversarial noise-level L2 differences flip
+    sources mid-stream (the hard protocol's pauses-in-noise failure mode).
+    With it, the chain keeps the previous chunk's assignment."""
+    from gan_sass_tf_tpu.infer.streaming import _chain_permutations
+
+    stride, overlap = 60, 20
+    t_c = stride + overlap
+    rng = np.random.default_rng(3)
+    # Three chunks, stable source order, loud everywhere EXCEPT the overlap
+    # between chunks 1 and 2, which is near-silent with noise constructed
+    # to make the SWAPPED match slightly cheaper than the true one.
+    chunks = rng.standard_normal((3, 2, t_c)).astype(np.float32)
+    eps = 1e-4
+    # chunk1 tail (= chunk2's previous-aligned tail): source0=+eps, s1=-eps
+    chunks[1, 0, stride:] = eps
+    chunks[1, 1, stride:] = -eps
+    # chunk2 head: source0=-eps, s1=+eps -> swapped L2 is exactly 0, true
+    # match L2 is (2*eps)^2 * overlap. Pure argmin would flip here.
+    chunks[2, 0, :overlap] = -eps
+    chunks[2, 1, :overlap] = eps
+    heads = chunks[:, :, :overlap]
+    tails = chunks[:, :, stride:]
+    perm = _chain_permutations(heads, tails, hysteresis=1e-3)
+    np.testing.assert_array_equal(perm[2], perm[1])   # no mid-stream flip
+    # Pure argmin (hysteresis=0) must flip on this construction — the test
+    # is vacuous otherwise.
+    perm0 = _chain_permutations(heads, tails, hysteresis=0.0)
+    assert not np.array_equal(perm0[2], perm0[1])
+    # And a LOUD, genuine swap must still be corrected (margin is relative
+    # to strip energy, so real evidence always wins).
+    loud = rng.standard_normal((2, 3 * stride + overlap)).astype(np.float32)
+    ch = np.stack([loud[:, i * stride: i * stride + t_c] for i in range(3)])
+    ch[1] = ch[1][::-1]
+    p = _chain_permutations(ch[:, :, :overlap], ch[:, :, stride:],
+                            hysteresis=1e-3)
+    assert p[1].tolist() == [1, 0]

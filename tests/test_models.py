@@ -430,3 +430,90 @@ def test_d_input_fold_must_divide_stem_stride(rng):
     x = jnp.zeros((4, 8, base.dsp.n_bins, 8), jnp.float32)
     with pytest.raises(ValueError, match="divide"):
         d.init(jax.random.PRNGKey(0), x, train=False)
+
+
+def test_conv_film_head_packed_position_free():
+    """Conv-trunk g_head_mode='film' (round 4): the lane-packed film head
+    synthesizes full-grid complex masks from the (T, K/f, f)-packed input —
+    correct shapes/range, period-f position structure only (no learned
+    parameter carries a per-bin or per-cell axis), and it composes with the
+    fold stem (trunk at the reduced grid, no subpixel restore)."""
+    cfg = config.get_config("music_complex_44k")
+    cfg = cfg.replace(model=cfg.model.__class__(**{
+        **cfg.model.__dict__, "g_head_mode": "film",
+        "g_stem_mode": "fold", "g_stem_stride": (2, 2),
+        "g_channels": (8, 16), "g_film_channels": 16, "g_film_fold": 8}))
+    g = models.build_generator(cfg)
+    feats = _feats(cfg)
+    params = g.init(jax.random.PRNGKey(0), feats)
+    masks = np.asarray(g.apply(params, feats))
+    s, k = cfg.data.num_sources, cfg.dsp.n_bins
+    assert masks.shape == (2, s, cfg.num_frames, k, 2)
+    assert np.abs(masks).max() <= 1.0 + 1e-6            # tanh-bounded
+    # Position-freeness: no head parameter dim is a multiple of the packed
+    # cell count (ceil(K/f)) or of K — weights are shared across cells, so
+    # absolute pitch cannot be memorized (period-f structure only).
+    cells = -(-k // cfg.model.g_film_fold)
+    leaves = jax.tree_util.tree_flatten_with_path(params)[0]
+    head = [(path, p) for path, p in leaves
+            if any("MaskHead" in str(key) for key in path)]
+    assert head, "film head params not found"
+    for path, p in head:
+        for d in np.shape(p):
+            assert d % k != 0 and d % cells != 0, (path, np.shape(p))
+
+
+def test_conv_film_head_requires_linear_grid():
+    cfg = config.get_config("wsj0_logmel")   # mel frontend (80 != 257)
+    bad = cfg.replace(model=cfg.model.__class__(**{
+        **cfg.model.__dict__, "g_head_mode": "film"}))
+    with pytest.raises(ValueError, match="film"):
+        models.build_generator(bad)
+
+
+def test_conv_film_head_gradient_flows_to_trunk():
+    """The FiLM modulation is the only path from trunk to masks when the
+    head is active — the trunk must still receive gradient through it."""
+    cfg = config.get_config("music_complex_44k")
+    cfg = cfg.replace(model=cfg.model.__class__(**{
+        **cfg.model.__dict__, "g_head_mode": "film",
+        "g_stem_mode": "fold", "g_stem_stride": (2, 2),
+        "g_channels": (8, 16), "g_film_channels": 16}))
+    g = models.build_generator(cfg)
+    feats = _feats(cfg)
+    params = g.init(jax.random.PRNGKey(0), feats)
+
+    def loss(p):
+        return jnp.sum(jnp.square(g.apply(p, feats)))
+
+    grads = jax.grad(loss)(params)
+    leaves = jax.tree_util.tree_flatten_with_path(grads)[0]
+    trunk = [np.abs(np.asarray(p)).max() for path, p in leaves
+             if not any("MaskHead" in str(key) for key in path)]
+    assert trunk and max(trunk) > 0.0
+
+
+def test_bilstm_filmpack_head_shapes_and_position_free():
+    """g_head_mode='filmpack' (bilstm): the lane-packed film head driven by
+    the per-frame hidden state — same position-free family as 'film' at
+    ~f x less full-grid activation traffic (the film head measured ~2x step
+    time on 3src_pit)."""
+    cfg = config.get_config("3src_pit")
+    cfg = cfg.replace(model=cfg.model.__class__(**{
+        **cfg.model.__dict__, "g_head_mode": "filmpack",
+        "g_hidden": 32, "g_film_channels": 16}))
+    g = models.build_generator(cfg)
+    feats = _feats(cfg)
+    params = g.init(jax.random.PRNGKey(0), feats)
+    masks = np.asarray(g.apply(params, feats))
+    s, k = cfg.data.num_sources, cfg.dsp.n_bins
+    assert masks.shape == (2, s, cfg.num_frames, k)
+    np.testing.assert_allclose(masks.sum(axis=1), 1.0, atol=1e-5)
+    cells = -(-k // cfg.model.g_film_fold)
+    leaves = jax.tree_util.tree_flatten_with_path(params)[0]
+    head = [(path, p) for path, p in leaves
+            if any("MaskHead" in str(key) for key in path)]
+    assert head, "filmpack head params not found"
+    for path, p in head:
+        for d in np.shape(p):
+            assert d % k != 0 and d % cells != 0, (path, np.shape(p))
