@@ -26,6 +26,13 @@ def _add_common(p):
 def _apply_overrides(cfg, overrides):
     import dataclasses
 
+    # Group per section and replace each section ONCE: dataclass
+    # __post_init__ validation then sees every override together, so
+    # mutually-dependent pairs work in either order (e.g.
+    # `--set train.d_lr_schedule=cosine --set train.lr_decay_steps=10000`
+    # would fail applied one at a time — the intermediate config has a
+    # cosine schedule with a zero horizon).
+    per_section: dict = {}
     for item in overrides:
         path, _, raw = item.partition("=")
         sec, _, key = path.partition(".")
@@ -45,8 +52,11 @@ def _apply_overrides(cfg, overrides):
             val = raw
         else:
             val = typ(raw)
-        cfg = cfg.replace(**{sec: dataclasses.replace(section, **{key: val})})
-    return cfg
+        per_section.setdefault(sec, {})[key] = val
+    return cfg.replace(**{
+        sec: dataclasses.replace(getattr(cfg, sec), **kw)
+        for sec, kw in per_section.items()
+    })
 
 
 def main(argv=None) -> int:

@@ -128,6 +128,18 @@ class ModelConfig:
     #                                Full per-bin information is preserved;
     #                                weights are position-free across cells
     #                                (periodic within one f-cell).
+    g_remat: bool = False          # rematerialize G's forward inside the
+    #                                train step's backward pass
+    #                                (jax.checkpoint around g.apply): the
+    #                                step stashes no G intermediate
+    #                                activations in HBM and recomputes them
+    #                                during the G backward instead.
+    #                                Function-class EXACT (same math, same
+    #                                numbers) — a pure FLOPs-for-bandwidth
+    #                                trade for HBM-bound presets with idle
+    #                                MXU (the round-4 roofline measures
+    #                                every preset HBM-bound; music at 23%
+    #                                MXU / 79% HBM).
     g_crop_nyquist: bool = False   # conv G: run on the even K-1 bin grid,
     #                                copy the top bin's mask from its
     #                                neighbor — n_bins = n_fft/2+1 is odd,

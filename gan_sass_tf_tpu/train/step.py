@@ -93,9 +93,20 @@ def build_train_step(cfg, g, d, axis_names: Tuple[str, ...] = (),
     def _rngs(rng):
         return {"dropout": rng} if (use_dropout and rng is not None) else None
 
+    # g_remat: recompute G's forward during the backward instead of
+    # stashing its intermediate activations — exact same function (the
+    # checkpoint saves only the masks), trading ~1x extra G-forward FLOPs
+    # (MXU measured 23% busy on music) for the activation-stash HBM
+    # traffic (the measured binding wall on every preset — roofline,
+    # BASELINE.md round 4).
+    g_remat = bool(getattr(cfg.model, "g_remat", False))
+
     def g_forward(g_params, feats, spec_mix, mag_mix, train: bool, rng=None):
-        masks = g.apply(_g_vars(g_params), feats, train=train,
-                        rngs=_rngs(rng))
+        def _apply(p, f):
+            return g.apply(_g_vars(p), f, train=train, rngs=_rngs(rng))
+
+        masks = (jax.checkpoint(_apply) if g_remat else _apply)(
+            g_params, feats)
         if need_est_spec:
             est_spec = apply_mask(spec_mix, masks, dcfg.mask_type)
             est_mag = jnp.abs(est_spec)

@@ -124,6 +124,15 @@ def test_cli_configs_and_overrides(capsys):
     assert cfg.loss.recon_domain_weights == (1.0, 0.2)
     with pytest.raises(AttributeError):
         cli._apply_overrides(cfg, ["train.nope=1"])
+    # Mutually-dependent overrides must work in EITHER order: sections are
+    # replaced once with all their overrides, so __post_init__ validation
+    # never sees a half-applied pair (a cosine schedule with its horizon
+    # still at the 0 default was the failure mode).
+    for pair in (["train.d_lr_schedule=cosine", "train.lr_decay_steps=1000"],
+                 ["train.lr_decay_steps=1000", "train.d_lr_schedule=cosine"]):
+        cfg2 = cli._apply_overrides(config.get_config("2src_toy_cpu"), pair)
+        assert cfg2.train.d_lr_schedule == "cosine"
+        assert cfg2.train.lr_decay_steps == 1000
 
 
 def test_streaming_scan_variant(g_params):

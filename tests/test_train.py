@@ -561,3 +561,27 @@ def test_reseed_reinitializes_without_retrace(tmp_path):
     exp.reseed(7)
     p2 = np.asarray(jax.tree_util.tree_leaves(exp.state.g_params)[0])
     assert np.array_equal(p_after, p2)
+
+
+def test_g_remat_is_exact():
+    """model.g_remat: jax.checkpoint around G's forward — recompute-in-
+    backward must be the SAME function (identical metrics trajectory from
+    identical init), not an approximation.  This is what makes remat the
+    one speed lever that needs no quality A/B: if this test passes, every
+    quality row measured without remat transfers verbatim."""
+    base = _tiny_cfg()
+    remat = base.replace(model=base.model.__class__(**{
+        **base.model.__dict__, "g_remat": True}))
+    hist = {}
+    for name, cfg in (("plain", base), ("remat", remat)):
+        exp = Experiment(cfg, workdir=None)
+        rows = []
+        exp.train(num_steps=4, log_fn=lambda s, m: rows.append(dict(m)))
+        hist[name] = rows
+    for a, b in zip(hist["plain"], hist["remat"]):
+        for k in a:
+            if k == "mixture_sec_per_sec":
+                continue         # wall-clock rate, not a model metric
+            np.testing.assert_allclose(
+                a[k], b[k], rtol=1e-5, atol=1e-6,
+                err_msg=f"metric {k} diverged under g_remat")
