@@ -98,17 +98,30 @@ def main(argv) -> int:
     cfg = protocol_config(preset, hard, overrides)
     exp = Experiment(cfg, workdir=None)
 
+    d_traj: list = []   # (step, d_loss) at every log interval, current seed
+
     def log(step, m):
+        d_traj.append((step, float(m["d_loss"])))
         if step % max(cfg.train.log_every * 10, 1) < cfg.train.log_every:
             print(f"step {step}: g={m['g_loss']:.3f} d={m['d_loss']:.3f} "
                   f"thr={m['mixture_sec_per_sec']:.0f}", file=sys.stderr,
                   flush=True)
+
+    def traj_summary():
+        """d_loss at ~25/50/75/100% of training — 'stays off the floor'
+        is a trajectory claim, not a final-step one."""
+        if not d_traj:
+            return []
+        picks = [d_traj[min(len(d_traj) - 1, (len(d_traj) * q) // 4)]
+                 for q in (1, 2, 3, 4)]
+        return [round(v, 4) for _, v in picks]
 
     from gan_sass_tf_tpu.data import make_dataset
 
     per_seed = []
     for seed in seeds:
         exp.reseed(seed)   # fresh state/bank/datasets, compiled fns reused
+        d_traj.clear()
         metrics = exp.train(num_steps=steps, log_fn=log)
         ev = exp.evaluate(num_batches=8)
         bound = oracle_bound_on_eval(exp, num_batches=8)
@@ -122,6 +135,7 @@ def main(argv) -> int:
             "si_sdr_improvement_train_dist": ev_tr["si_sdr_improvement"],
             "oracle_bound": bound,
             "d_loss": metrics.get("d_loss", float("nan")),
+            "d_loss_traj": traj_summary(),
             "throughput": metrics.get("mixture_sec_per_sec", 0.0),
         })
         print(f"seed {seed}: held-out "
@@ -152,6 +166,7 @@ def main(argv) -> int:
         "headroom": round(
             mean("oracle_bound") - mean("si_sdr_improvement"), 2),
         "d_loss": round(mean("d_loss"), 4),
+        "d_loss_traj_per_seed": [r["d_loss_traj"] for r in per_seed],
         "d_norm": cfg.model.d_norm,
         "throughput": round(mean("throughput"), 1),
     }
