@@ -1,16 +1,26 @@
 """Serial experiment-queue runner for on-chip measurement rounds.
 
 One real TPU chip => experiments must run strictly serially.  This runner
-tails a queue file (``results/r4_queue.txt``) so new experiments can be
-APPENDED while it runs, executes each line's command, and appends one JSON
-record per experiment to ``results/r4_results.jsonl``.
+tails a queue file, executes each line's command, and appends one JSON
+record per experiment to the round's results file.
 
 Queue line format:    <tag> | <shell command>
-Blank lines / lines starting with '#' are skipped (but still advance the
-cursor, so edit only BELOW the cursor position).
+Blank lines / lines starting with '#' are ignored.
 
-The runner exits when the queue is drained AND ``results/r4_queue.CLOSE``
-exists; otherwise it sleeps and polls for appended lines.
+Identity model (round-5 fix, VERDICT r4 item 6): completed work is keyed by
+TAG, not by line position.  Before running a job the runner checks every
+``results/r*_results.jsonl`` for a record with the same tag; if one exists
+(success OR failure) the job is skipped.  Lines may therefore be inserted,
+reordered, or deleted anywhere in the queue file at any time — the round-4
+failure modes (silently skipped insert-above-cursor job; duplicate re-run of
+a finished job) are structurally impossible.  To re-run a tag, give it a new
+name (e.g. ``foo_v2``); failed jobs are deliberately NOT retried on loop to
+avoid burning serial chip hours on a broken command.
+
+The runner exits when no runnable job remains AND ``<round>_queue.CLOSE``
+exists; otherwise it sleeps and polls for new lines.
+
+Usage:  python scripts/run_queue.py [round]      (default round: r5)
 """
 
 from __future__ import annotations
@@ -23,56 +33,73 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 RESULTS = os.path.join(REPO, "results")
-QUEUE = os.path.join(RESULTS, "r4_queue.txt")
-CURSOR = os.path.join(RESULTS, "r4_cursor")
-OUT = os.path.join(RESULTS, "r4_results.jsonl")
-LOG = os.path.join(RESULTS, "r4_log.txt")
-CLOSE = os.path.join(RESULTS, "r4_queue.CLOSE")
 TIMEOUT_S = 3 * 3600  # one experiment should never exceed 3 h
 
 
-def read_cursor() -> int:
+def paths(round_name: str):
+    return (os.path.join(RESULTS, f"{round_name}_queue.txt"),
+            os.path.join(RESULTS, f"{round_name}_results.jsonl"),
+            os.path.join(RESULTS, f"{round_name}_log.txt"),
+            os.path.join(RESULTS, f"{round_name}_queue.CLOSE"))
+
+
+def done_tags() -> set:
+    """Tags with a record in ANY round's results file (success or failure)."""
+    tags = set()
+    for name in sorted(os.listdir(RESULTS)) if os.path.isdir(RESULTS) else []:
+        if not (name.endswith("_results.jsonl") and name.startswith("r")):
+            continue
+        with open(os.path.join(RESULTS, name)) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    tags.add(json.loads(line)["tag"])
+                except (json.JSONDecodeError, KeyError):
+                    pass
+    return tags
+
+
+def parse_queue(queue_path: str):
     try:
-        with open(CURSOR) as f:
-            return int(f.read().strip() or 0)
+        with open(queue_path) as f:
+            lines = f.read().splitlines()
     except FileNotFoundError:
-        return 0
-
-
-def write_cursor(n: int) -> None:
-    with open(CURSOR, "w") as f:
-        f.write(str(n))
-
-
-def log(msg: str) -> None:
-    line = f"[{time.strftime('%H:%M:%S')}] {msg}"
-    print(line, flush=True)
-    with open(LOG, "a") as f:
-        f.write(line + "\n")
+        return []
+    jobs = []
+    for line in lines:
+        line = line.strip()
+        if not line or line.startswith("#") or "|" not in line:
+            continue
+        tag, _, cmd = line.partition("|")
+        jobs.append((tag.strip(), cmd.strip()))
+    return jobs
 
 
 def main() -> int:
+    round_name = sys.argv[1] if len(sys.argv) > 1 else "r5"
+    queue_path, out_path, log_path, close_path = paths(round_name)
     os.makedirs(RESULTS, exist_ok=True)
+
+    def log(msg: str) -> None:
+        line = f"[{time.strftime('%H:%M:%S')}] {msg}"
+        print(line, flush=True)
+        with open(log_path, "a") as f:
+            f.write(line + "\n")
+
     while True:
-        try:
-            with open(QUEUE) as f:
-                lines = f.read().splitlines()
-        except FileNotFoundError:
-            lines = []
-        n = read_cursor()
-        if n >= len(lines):
-            if os.path.exists(CLOSE):
+        finished = done_tags()
+        job = next(((t, c) for t, c in parse_queue(queue_path)
+                    if t not in finished), None)
+        if job is None:
+            if os.path.exists(close_path):
                 log("queue drained and CLOSE sentinel present — exiting")
                 return 0
             time.sleep(20)
             continue
-        line = lines[n].strip()
-        write_cursor(n + 1)
-        if not line or line.startswith("#"):
-            continue
-        tag, _, cmd = line.partition("|")
-        tag, cmd = tag.strip(), cmd.strip()
-        log(f"run #{n + 1} [{tag}]: {cmd}")
+        tag, cmd = job
+        log(f"run [{tag}]: {cmd}")
         t0 = time.time()
         try:
             proc = subprocess.run(
@@ -86,7 +113,7 @@ def main() -> int:
                 e.stdout, bytes) else (e.stdout or "")
             stderr = "TIMEOUT"
         wall = time.time() - t0
-        with open(LOG, "a") as f:
+        with open(log_path, "a") as f:
             f.write(f"--- [{tag}] stderr tail ---\n")
             f.write("\n".join(stderr.splitlines()[-30:]) + "\n")
         parsed = None
@@ -102,9 +129,9 @@ def main() -> int:
                "wall_s": round(wall, 1), "result": parsed}
         if parsed is None:
             rec["stdout_tail"] = stdout[-500:]
-        with open(OUT, "a") as f:
+        with open(out_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
-        log(f"done #{n + 1} [{tag}] rc={rc} wall={wall:.0f}s "
+        log(f"done [{tag}] rc={rc} wall={wall:.0f}s "
             f"result={'ok' if parsed else 'NO-JSON'}")
 
 
