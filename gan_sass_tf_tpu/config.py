@@ -502,7 +502,11 @@ def _wsj0() -> Config:
         # see BASELINE.md quality table).
         loss=LossConfig(use_pit=True, recon_domain="mag"),
         train=TrainConfig(batch_size=16, d_lr=1e-4),
-        data=DataConfig(dataset="wav_dir", num_sources=2,
+        # Synthetic by default so the preset runs as shipped (no corpora in
+        # this env).  For a real WSJ0-style corpus:
+        #   --set data.dataset=wav_dir --set data.data_dir=/path/to/speakers
+        # (speaker subdirs of wavs; speaker-held-out eval split — corpus.py).
+        data=DataConfig(dataset="synthetic", num_sources=2,
                         segment_seconds=3.0),
     )
 

@@ -55,7 +55,10 @@ class WavDirDataset:
         self._rng = np.random.default_rng(seed)
         root = cfg.data.data_dir
         if not root or not os.path.isdir(root):
-            raise FileNotFoundError(f"wav_dir dataset root not found: {root!r}")
+            raise FileNotFoundError(
+                f"wav_dir dataset root not found: {root!r} — set "
+                "data.data_dir (CLI: --set data.data_dir=/path/to/speakers) "
+                "or use data.dataset=synthetic")
         self.speakers: List[List[str]] = []
         for spk in sorted(os.listdir(root)):
             spk_dir = os.path.join(root, spk)

@@ -221,7 +221,18 @@ class Experiment:
         if os.path.exists(cfg_path):
             with open(cfg_path) as f:
                 saved = f.read()
-            if saved != self.cfg.to_json():
+            # Compare through from_json so fields ADDED since the workdir
+            # was created (absent in the saved JSON, carrying their dataclass
+            # default) don't invalidate a semantically compatible run
+            # (ADVICE r4).  Fields REMOVED from the schema make from_json
+            # raise TypeError — that genuinely is a different config.
+            try:
+                compatible = (
+                    type(self.cfg).from_json(saved).to_json()
+                    == self.cfg.to_json())
+            except (TypeError, KeyError):
+                compatible = False
+            if not compatible:
                 raise ValueError(
                     f"workdir {self.workdir!r} was created with a different "
                     "config (fingerprint mismatch); refusing to mix runs"

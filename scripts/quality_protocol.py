@@ -112,7 +112,9 @@ def main(argv) -> int:
         is a trajectory claim, not a final-step one."""
         if not d_traj:
             return []
-        picks = [d_traj[min(len(d_traj) - 1, (len(d_traj) * q) // 4)]
+        # Evenly spaced distinct picks ending on the true final entry
+        # (ADVICE r4: (len*q)//4 duplicated 75%/100% and skewed 25%).
+        picks = [d_traj[round((len(d_traj) - 1) * q / 4)]
                  for q in (1, 2, 3, 4)]
         return [round(v, 4) for _, v in picks]
 

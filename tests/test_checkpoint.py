@@ -110,6 +110,34 @@ def test_config_fingerprint_guard(tmp_path):
         Experiment(other, workdir=wd)
 
 
+def test_fingerprint_tolerates_added_default_fields(tmp_path):
+    """A workdir created before a default-valued config field existed must
+    still resume (ADVICE r4): simulate the old schema by deleting a
+    known-default key from the saved config.json."""
+    import json, os
+
+    wd = str(tmp_path / "run")
+    cfg = _cfg()
+    exp = Experiment(cfg, workdir=wd)
+    exp.train(num_steps=2)
+    exp.close()
+    cfg_path = os.path.join(wd, "config.json")
+    saved = json.loads(open(cfg_path).read())
+    assert saved["model"].pop("g_remat") is False  # default-valued field
+    with open(cfg_path, "w") as f:
+        json.dump(saved, f)
+    exp2 = Experiment(cfg, workdir=wd)  # must not raise
+    assert int(exp2.state.step) == 2
+    exp2.close()
+
+    # A saved config with a key the schema no longer has IS a mismatch.
+    saved["model"]["retired_knob"] = 1
+    with open(cfg_path, "w") as f:
+        json.dump(saved, f)
+    with pytest.raises(ValueError, match="different config"):
+        Experiment(cfg, workdir=wd)
+
+
 def test_metrics_jsonl_written(tmp_path):
     import json, os
 

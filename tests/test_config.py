@@ -14,6 +14,23 @@ def test_json_roundtrip_all_presets():
         assert back.fingerprint() == cfg.fingerprint(), name
 
 
+def test_all_presets_build_datasets_as_shipped():
+    """Every preset must run without --set overrides (VERDICT r4 item 8):
+    dataset construction is where an unset data_dir used to die."""
+    import dataclasses
+
+    from gan_sass_tf_tpu.data import make_dataset
+
+    for name in config.list_configs():
+        cfg = config.get_config(name)
+        cfg = cfg.replace(
+            data=dataclasses.replace(cfg.data, segment_seconds=0.25),
+            train=cfg.train.__class__(**{**cfg.train.__dict__,
+                                         "batch_size": 2}))
+        batch = make_dataset(cfg, seed=0, split="train").batch()
+        assert batch.shape[0] == 2, name
+
+
 def test_unknown_preset_raises():
     with pytest.raises(KeyError, match="unknown config"):
         config.get_config("no_such_preset")
