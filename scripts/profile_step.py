@@ -111,8 +111,9 @@ def main() -> None:
                 continue
             op = meta.get(nm)
             agg[bucket(op) if op else "UNATTR"] += e.get("dur", 0)
-            if op:
-                top[op[:100]] += e.get("dur", 0)
+            # Unattributed ops rank by raw HLO name (reverse.N, copy.N,
+            # slice-start.N — data movement the bytes ledger flagged).
+            top[(op or nm)[:100]] += e.get("dur", 0)
 
     tot = sum(agg.values())
     print(f"{preset} batch={batch}: {tot / STEPS / 1e3:.2f} ms/step "
@@ -120,8 +121,16 @@ def main() -> None:
     for k, v in agg.most_common():
         print(f"  {v / STEPS:9.1f} us  {k}")
     print("top attributed ops:")
-    for op, v in top.most_common(12):
+    for op, v in top.most_common(20):
         print(f"  {v / STEPS:8.1f} us  {op}")
+    print(json.dumps({
+        "preset": preset, "batch": batch,
+        "device_ms_per_step": round(tot / STEPS / 1e3, 2),
+        "buckets_us_per_step": {k: round(v / STEPS, 1)
+                                for k, v in agg.most_common()},
+        "top_ops_us_per_step": {op: round(v / STEPS, 1)
+                                for op, v in top.most_common(15)},
+    }))
 
 
 if __name__ == "__main__":

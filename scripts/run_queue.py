@@ -129,6 +129,11 @@ def main() -> int:
                "wall_s": round(wall, 1), "result": parsed}
         if parsed is None:
             rec["stdout_tail"] = stdout[-500:]
+        # Full stdout always lands in a per-tag file (profilers and other
+        # multi-line reporters have no one-JSON-line contract).
+        with open(os.path.join(RESULTS, f"{round_name}_out_{tag}.txt"),
+                  "w") as f:
+            f.write(stdout)
         with open(out_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
         log(f"done [{tag}] rc={rc} wall={wall:.0f}s "
