@@ -140,6 +140,16 @@ class ModelConfig:
     #                                MXU (the round-4 roofline measures
     #                                every preset HBM-bound; music at 23%
     #                                MXU / 79% HBM).
+    g_phase_ct: bool = False       # conv G decoder upsampling via the
+    #                                phase-decomposed ConvTranspose
+    #                                (models/phase_ct.py): function-class
+    #                                EXACT vs nn.ConvTranspose (same params,
+    #                                taps regrouped into a stride-1 conv +
+    #                                depth-to-space), but the autodiff
+    #                                backward has no lhs-dilated conv, so
+    #                                XLA stops materializing pad+reverse of
+    #                                full-grid cotangents (the round-5
+    #                                bytes ledger's largest removable item).
     g_crop_nyquist: bool = False   # conv G: run on the even K-1 bin grid,
     #                                copy the top bin's mask from its
     #                                neighbor — n_bins = n_fft/2+1 is odd,

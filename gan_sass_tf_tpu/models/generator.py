@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from gan_sass_tf_tpu.dsp.masks import mask_channels
+from gan_sass_tf_tpu.models.phase_ct import PhaseConvTranspose
 from gan_sass_tf_tpu.models.registry import register_generator
 
 
@@ -311,6 +312,7 @@ def _conv(cfg):
         dec_l0=cfg.model.g_dec_l0,
         film_channels=cfg.model.g_film_channels,
         film_fold=cfg.model.g_film_fold,
+        phase_ct=cfg.model.g_phase_ct,
     )
 
 
@@ -354,6 +356,12 @@ class ConvUNetGenerator(nn.Module):
     #                            geometry because channels pad to the 128
     #                            MXU lanes; the skip still supplies
     #                            per-bin full-grid detail to the head)
+    phase_ct: bool = False     # decoder upsampling via PhaseConvTranspose:
+    #                            same function/params as nn.ConvTranspose,
+    #                            but the backward avoids XLA's materialized
+    #                            pad+reverse of full-grid cotangents (the
+    #                            round-5 ledger's largest removable item —
+    #                            see models/phase_ct.py)
     crop_nyquist: bool = False  # run the net on the even K-1 bin grid and
     #                             copy the top bin's mask from its neighbor:
     #                             n_bins = n_fft/2 + 1 is odd (1025 at the
@@ -430,8 +438,8 @@ class ConvUNetGenerator(nn.Module):
                 x = nn.leaky_relu(x, self.leak)
                 x = jnp.concatenate([x, skip], axis=-1)
                 continue                 # the mask head (1x1) follows
-            x = nn.ConvTranspose(cd, (3, 3), strides=down,
-                                 dtype=self.dtype)(x)
+            ct = (PhaseConvTranspose if self.phase_ct else nn.ConvTranspose)
+            x = ct(cd, (3, 3), strides=down, dtype=self.dtype)(x)
             x = x[:, : skip.shape[1], : skip.shape[2], :]       # crop odd dims
             x = nn.leaky_relu(x, self.leak)
             x = jnp.concatenate([x, skip], axis=-1)

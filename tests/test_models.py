@@ -517,3 +517,67 @@ def test_bilstm_filmpack_head_shapes_and_position_free():
     for path, p in head:
         for d in np.shape(p):
             assert d % k != 0 and d % cells != 0, (path, np.shape(p))
+
+
+@pytest.mark.parametrize("strides,shape", [
+    ((2, 2), (2, 9, 13, 5)),     # odd spatial dims exercise phase edges
+    ((1, 2), (2, 8, 16, 4)),
+    ((2, 2), (1, 6, 6, 3)),
+])
+def test_phase_convtranspose_equals_flax(strides, shape):
+    """PhaseConvTranspose must be function-class EXACT vs nn.ConvTranspose:
+    same params -> same outputs AND same input/kernel gradients (it exists
+    only to change XLA's backward lowering, never the math)."""
+    import flax.linen as nn
+
+    from gan_sass_tf_tpu.models.phase_ct import PhaseConvTranspose
+
+    feats = 7
+    x = jax.random.normal(jax.random.PRNGKey(1), shape, jnp.float32)
+    phase = PhaseConvTranspose(feats, (3, 3), strides=strides)
+    ref = nn.ConvTranspose(feats, (3, 3), strides=strides, padding="SAME")
+    params = phase.init(jax.random.PRNGKey(2), x)
+    # identical param pytree structure (kernel/bias) -> shareable
+    ref_out = ref.apply(params, x)
+    out = phase.apply(params, x)
+    assert out.shape == ref_out.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               atol=1e-5, rtol=1e-5)
+
+    def loss_phase(p, x):
+        return jnp.sum(phase.apply(p, x) ** 2)
+
+    def loss_ref(p, x):
+        return jnp.sum(ref.apply(p, x) ** 2)
+
+    gp, gx = jax.grad(loss_phase, argnums=(0, 1))(params, x)
+    rp, rx = jax.grad(loss_ref, argnums=(0, 1))(params, x)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(rx),
+                               atol=1e-4, rtol=1e-4)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4), gp, rp)
+
+
+def test_phase_ct_generator_matches_default():
+    """g_phase_ct=true must not change the conv G's function: same params
+    (renamed ConvTranspose_i -> PhaseConvTranspose_i), same masks."""
+    cfg = config.get_config("2src_toy_cpu")
+    g_ref = models.build_generator(cfg)
+    cfg_p = cfg.replace(model=cfg.model.__class__(**{
+        **cfg.model.__dict__, "g_phase_ct": True}))
+    g_phase = models.build_generator(cfg_p)
+    feats = _feats(cfg)
+    params = g_ref.init(jax.random.PRNGKey(0), feats)
+
+    def rename(d):
+        if isinstance(d, dict):
+            return {k.replace("ConvTranspose_", "PhaseConvTranspose_")
+                    if k.startswith("ConvTranspose_") else k: rename(v)
+                    for k, v in d.items()}
+        return d
+
+    params_p = jax.tree_util.tree_map(lambda x: x, rename(params))
+    m_ref = np.asarray(g_ref.apply(params, feats))
+    m_phase = np.asarray(g_phase.apply(params_p, feats))
+    np.testing.assert_allclose(m_phase, m_ref, atol=1e-5, rtol=1e-5)
