@@ -160,13 +160,14 @@ def build_streaming_scan_fn(cfg, g):
         ramp = (jnp.arange(1, overlap + 1) / (overlap + 1)).astype(jnp.float32)
 
         def body(carry, xs):
-            # carry: (prev fade-out tail (S, overlap), prev perm index) —
-            # the perm index gives the chaining its hysteresis: a
-            # deterministic separator's output order is stable, so when the
-            # overlap is near-silent (no matching evidence) we keep the
-            # previous assignment instead of letting noise-level L2
-            # differences flip sources mid-stream (hard-protocol material).
-            carry_tail, prev_idx = carry
+            # carry: (prev fade-out tail (S, overlap), prev perm index,
+            # running stream loudness) — the perm index gives the chaining
+            # its hysteresis: a deterministic separator's output order is
+            # stable, so when the overlap is near-silent (no matching
+            # evidence) we keep the previous assignment instead of letting
+            # noise-level L2 differences flip sources mid-stream
+            # (hard-protocol material).
+            carry_tail, prev_idx, loud = carry
             chunk, i = xs
             wavs = separate(g_params, chunk[None])[0][:, :t_c]  # (S, T_c)
             # Match source order to the carried tail (L2 over the overlap).
@@ -176,9 +177,14 @@ def build_streaming_scan_fn(cfg, g):
                  for p in perms]
             )
             best = jnp.argmin(errs)
-            # Margin scale = the raw input chunk's loudness, NOT the strip's
-            # (a near-silent strip is exactly when the margin must hold).
-            margin = hyst * jnp.mean(chunk ** 2) * (s * overlap)
+            # Margin scale = the STREAM's loudness (running max of per-chunk
+            # power), NOT the current chunk's or the strip's: a WHOLLY
+            # silent chunk inside a pause would zero a current-chunk margin
+            # and let noise flip sources mid-gap (caught end-to-end by
+            # tests/test_infer.py::test_streaming_silent_gap_end_to_end;
+            # the batched path's whole-stream scale never had the hole).
+            loud = jnp.maximum(loud, jnp.mean(chunk ** 2))
+            margin = hyst * loud * (s * overlap)
             sel = jnp.where(errs[best] < errs[prev_idx] - margin,
                             best, prev_idx)
             wavs = wavs[jnp.asarray(perms)[sel]]
@@ -193,12 +199,13 @@ def build_streaming_scan_fn(cfg, g):
             out_seg = jnp.concatenate(
                 [faded, wavs[:, overlap:stride]], axis=-1
             )                                                    # (S, stride)
-            return (wavs[:, stride:], sel), out_seg
+            return (wavs[:, stride:], sel, loud), out_seg
 
         init = (jnp.zeros((s, overlap), jnp.float32),
-                jnp.zeros((), jnp.int32))            # identity perm index
+                jnp.zeros((), jnp.int32),            # identity perm index
+                jnp.zeros((), jnp.float32))          # running loudness
         idx = jnp.arange(chunks.shape[0])
-        (final_tail, _), segs = jax.lax.scan(body, init, (chunks, idx))
+        (final_tail, _, _), segs = jax.lax.scan(body, init, (chunks, idx))
         return segs, final_tail          # (N, S, stride), (S, overlap)
 
     return scan_separate

@@ -25,6 +25,7 @@ Usage:  python scripts/run_queue.py [round]      (default round: r5)
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
 import subprocess
@@ -81,6 +82,20 @@ def main() -> int:
     round_name = sys.argv[1] if len(sys.argv) > 1 else "r5"
     queue_path, out_path, log_path, close_path = paths(round_name)
     os.makedirs(RESULTS, exist_ok=True)
+
+    # Singleton per round: two concurrent runners race on in-flight tags
+    # (a tag has no record until it FINISHES, so both pick it) and split
+    # the one chip's throughput.  flock is held for the process lifetime
+    # and released by the kernel on any exit, clean or not.
+    lock = open(os.path.join(RESULTS, f".{round_name}_runner.lock"), "w")
+    try:
+        fcntl.flock(lock, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    except OSError:
+        print(f"another {round_name} runner already holds the lock — "
+              "exiting (this is the singleton guard, not an error)")
+        return 0
+    lock.write(str(os.getpid()))
+    lock.flush()
 
     def log(msg: str) -> None:
         line = f"[{time.strftime('%H:%M:%S')}] {msg}"
