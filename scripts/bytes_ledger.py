@@ -44,6 +44,11 @@ _DTYPE_BYTES = {
 }
 
 _SHAPE_RE = re.compile(r"([a-z0-9]+)\[([\d,]*)\]")
+# Shape leaf WITH its layout braces: minor-to-major order, tiling
+# T(sublane,lane), optional bf16/int8 packing tuple, memory space S(n).
+_SHAPE_LAYOUT_RE = re.compile(r"([a-z0-9]+)\[([\d,]*)\](?:\{([^{}]*(?:\([^)]*\)[^{}]*)*)\})?")
+_TILE_RE = re.compile(r"T\(([\d,]+)\)(?:\((\d+),\d+\))?")
+_SPACE_RE = re.compile(r"S\((\d+)\)")
 # Aliasing / metadata-only opcodes — XLA charges them no traffic.  "-done"
 # halves of async pairs are also free (the -start is charged).
 _FREE_OPS = {"bitcast", "get-tuple-element", "tuple", "parameter",
@@ -58,7 +63,7 @@ _SIMPLE_SHAPE_RE = re.compile(
 
 
 def shape_bytes(shape_str: str) -> int:
-    """Total buffer bytes of a shape string; tuples sum their leaves."""
+    """Total LOGICAL buffer bytes of a shape string; tuples sum leaves."""
     total = 0
     for dtype, dims in _SHAPE_RE.findall(shape_str):
         if dtype not in _DTYPE_BYTES:
@@ -68,6 +73,55 @@ def shape_bytes(shape_str: str) -> int:
             for d in dims.split(","):
                 n *= int(d)
         total += n * _DTYPE_BYTES[dtype]
+    return total
+
+
+def shape_pbytes(shape_str: str) -> int:
+    """Total PHYSICAL HBM bytes of a shape string (round 5): applies the
+    layout's tiling — the minor dim pads to the lane tile (128) and the
+    second-minor to the sublane tile (8, x pack factor for sub-4-byte
+    types) — and charges buffers placed in scoped memories (S(1) VMEM /
+    S(2) SMEM) ZERO HBM traffic.  This is the accounting that exposes
+    lane-padding waste: a (..., 64) bf16 activation physically streams 2x
+    its logical bytes, which the logical ledger cannot see (and which the
+    round-5 fold(1,2)+c128 music attack exploits)."""
+    total = 0
+    for dtype, dims, layout in _SHAPE_LAYOUT_RE.findall(shape_str):
+        if dtype not in _DTYPE_BYTES or _DTYPE_BYTES[dtype] == 0:
+            continue
+        if _SPACE_RE.search(layout):
+            sp = _SPACE_RE.search(layout).group(1)
+            if sp != "0":
+                continue                      # VMEM/SMEM: no HBM traffic
+        dsz = _DTYPE_BYTES[dtype]
+        dim_list = [int(d) for d in dims.split(",")] if dims else []
+        if not dim_list:
+            total += dsz
+            continue
+        tm = _TILE_RE.search(layout)
+        # minor-to-major order (defaults to row-major when absent)
+        mtm_str = layout.split(":", 1)[0] if layout else ""
+        if re.fullmatch(r"[\d,]+", mtm_str or ""):
+            mtm = [int(x) for x in mtm_str.split(",")]
+        else:
+            mtm = list(range(len(dim_list)))[::-1]
+        if tm:
+            tile = [int(x) for x in tm.group(1).split(",")]
+            pack = int(tm.group(2)) if tm.group(2) else 1
+        else:
+            tile, pack = [8, 128], (4 // dsz if dsz < 4 else 1) or 1
+        padded = list(dim_list)
+        # pad the most-minor dims against the tile, minor-first
+        for t_idx, d_idx in zip(range(len(tile) - 1, -1, -1),
+                                mtm[: len(tile)]):
+            t = tile[t_idx]
+            if t_idx == 0:
+                t *= max(pack, 1)             # packed sublane tile
+            padded[d_idx] = -(-padded[d_idx] // t) * t
+        n = 1
+        for d in padded:
+            n *= d
+        total += n * dsz
     return total
 
 
@@ -135,6 +189,7 @@ def parse_hlo(hlo_text: str):
         cur["instrs"].append({
             "name": name, "opcode": opcode,
             "out_bytes": shape_bytes(shape_str),
+            "out_pbytes": shape_pbytes(shape_str),
             "operands": _NAME_RE.findall(_operand_span(remainder)),
             "op_name": mm.group(1) if mm else "",
             "calls": cm.group(1) if cm else "",
@@ -154,7 +209,8 @@ def comp_dominant_meta(comps: dict) -> dict:
     return out
 
 
-def _instr_bytes(ins: dict, sizes: dict, comps: dict) -> int:
+def _instr_bytes(ins: dict, sizes: dict, comps: dict,
+                 key: str = "out_bytes") -> int:
     """Bytes charged to one instruction, with slice/async/copy semantics:
 
     - slice/dynamic-slice reads only the region it outputs  -> 2x output
@@ -167,7 +223,7 @@ def _instr_bytes(ins: dict, sizes: dict, comps: dict) -> int:
     """
     opcode = ins["opcode"]
     if opcode in ("slice", "dynamic-slice", "gather"):
-        return 2 * ins["out_bytes"]
+        return 2 * ins[key]
     if opcode == "dynamic-update-slice":
         upd = sizes.get(ins["operands"][1], 0) if len(
             ins["operands"]) > 1 else 0
@@ -175,34 +231,36 @@ def _instr_bytes(ins: dict, sizes: dict, comps: dict) -> int:
     if opcode == "copy-start":
         # output tuple (dst, src-alias, sync): src read + dst write
         # == dst+src leaves ~= the tuple total (sync scalar negligible).
-        return ins["out_bytes"]
+        return ins[key]
     if opcode == "async-start" and ins["calls"] in comps:
         inner = comps[ins["calls"]]["instrs"]
         root = inner[-1] if inner else None
         if root is not None:
-            inner_sizes = {i["name"]: i["out_bytes"] for i in inner}
-            return _instr_bytes(root, inner_sizes, comps)
-    return ins["out_bytes"] + sum(
+            inner_sizes = {i["name"]: i[key] for i in inner}
+            return _instr_bytes(root, inner_sizes, comps, key)
+    return ins[key] + sum(
         sizes.get(op, 0) for op in ins["operands"])
 
 
 def entry_ledger(comps: dict):
-    """Yield (instr_name, opcode, bytes, op_name) for traffic-bearing
-    entry-computation instructions."""
+    """Yield (instr_name, opcode, logical_bytes, physical_bytes, op_name)
+    for traffic-bearing entry-computation instructions."""
     entry = next((c for c in comps.values() if c["entry"]), None)
     if entry is None:
         return
     sizes = {i["name"]: i["out_bytes"] for i in entry["instrs"]}
+    psizes = {i["name"]: i["out_pbytes"] for i in entry["instrs"]}
     dom = comp_dominant_meta(comps)
     for ins in entry["instrs"]:
         opcode = ins["opcode"]
         if opcode in _FREE_OPS or opcode.endswith("-done"):
             continue
         total = _instr_bytes(ins, sizes, comps)
+        ptotal = _instr_bytes(ins, psizes, comps, key="out_pbytes")
         op_name = ins["op_name"]
         if not op_name and ins["calls"]:
             op_name = dom.get(ins["calls"], "")
-        yield ins["name"], opcode, total, op_name
+        yield ins["name"], opcode, total, ptotal, op_name
 
 
 def bucket(op: str) -> str:
@@ -269,36 +327,44 @@ def main(argv) -> int:
 
     comps = parse_hlo(compiled.as_text())
     buckets: collections.Counter = collections.Counter()
+    pbuckets: collections.Counter = collections.Counter()
     scopes: collections.Counter = collections.Counter()
     instrs: list = []
-    for name, opcode, nbytes, op in entry_ledger(comps):
+    for name, opcode, nbytes, pbytes, op in entry_ledger(comps):
         b = bucket(op) if op else "UNATTR"
         buckets[b] += nbytes
-        scopes[scope_key(op) if op else f"UNATTR:{opcode}"] += nbytes
-        instrs.append((nbytes, opcode, op[:110] or name))
+        pbuckets[b] += pbytes
+        scopes[scope_key(op) if op else f"UNATTR:{opcode}"] += pbytes
+        instrs.append((pbytes, opcode, op[:110] or name))
 
     total = sum(buckets.values())
+    ptotal = sum(pbuckets.values())
     print(f"{preset} batch={cfg.train.batch_size}: ledger "
-          f"{total / 1e9:.2f} GB/step (cost_analysis aggregate "
-          f"{ca_bytes / 1e9:.2f} GB/step)")
-    print("per-bucket GB/step:")
-    for k, v in buckets.most_common():
-        print(f"  {v / 1e9:8.3f} GB  {100 * v / max(total, 1):5.1f}%  {k}")
-    print("top byte-producing scopes:")
+          f"{ptotal / 1e9:.2f} GB/step PHYSICAL (tiled layouts, scoped "
+          f"memories free) / {total / 1e9:.2f} GB logical "
+          f"(cost_analysis aggregate {ca_bytes / 1e9:.2f} GB)")
+    print("per-bucket GB/step (physical, logical):")
+    for k, v in pbuckets.most_common():
+        print(f"  {v / 1e9:8.3f} GB  {buckets[k] / 1e9:8.3f} GB  "
+              f"{100 * v / max(ptotal, 1):5.1f}%  {k}")
+    print("top byte-producing scopes (physical):")
     for k, v in scopes.most_common(20):
         print(f"  {v / 1e9:8.3f} GB  {k}")
-    print("top instructions:")
-    for nbytes, opcode, op in sorted(instrs, reverse=True)[:15]:
-        print(f"  {nbytes / 1e9:8.3f} GB  {opcode:12s} {op}")
+    print("top instructions (physical):")
+    for pbytes, opcode, op in sorted(instrs, reverse=True)[:15]:
+        print(f"  {pbytes / 1e9:8.3f} GB  {opcode:12s} {op}")
 
     print(json.dumps({
         "preset": preset, "batch": cfg.train.batch_size,
+        "ledger_physical_gb_per_step": round(ptotal / 1e9, 2),
         "ledger_gb_per_step": round(total / 1e9, 2),
         "cost_analysis_gb_per_step": round(ca_bytes / 1e9, 2),
+        "buckets_physical_gb": {k: round(v / 1e9, 3) for k, v in
+                                pbuckets.most_common()},
         "buckets_gb": {k: round(v / 1e9, 3) for k, v in
                        buckets.most_common()},
-        "top_scopes_gb": {k: round(v / 1e9, 3) for k, v in
-                          scopes.most_common(12)},
+        "top_scopes_physical_gb": {k: round(v / 1e9, 3) for k, v in
+                                   scopes.most_common(12)},
     }))
     return 0
 

@@ -71,9 +71,13 @@ def measure_preset(preset: str, steps: int, batch, overrides):
     # impossible exactly-100% of peak).  The entry-computation ledger
     # (operands+outputs of post-fusion instructions, slice/async-aware) is
     # the HBM-traffic proxy; SoL below uses it.
+    # (round-5: physical bytes — tiled layouts + scoped-memory buffers
+    # free — are the honest HBM proxy; logical bytes under-count the
+    # lane padding of narrow-channel tensors by up to 2x.)
     from bytes_ledger import entry_ledger, parse_hlo
-    byts = float(sum(b for _, _, b, _ in
-                     entry_ledger(parse_hlo(compiled.as_text()))))
+    rows = list(entry_ledger(parse_hlo(compiled.as_text())))
+    byts = float(sum(r[3] for r in rows))
+    logical_byts = float(sum(r[2] for r in rows))
 
     state, bank, rng = exp.state, exp._bank, exp._train_rng
     for _ in range(5):
@@ -101,6 +105,7 @@ def measure_preset(preset: str, steps: int, batch, overrides):
         "mix_s_per_s": round(cfg.train.batch_size * seg_s / dt, 1),
         "hlo_gflops_per_step": round(flops / 1e9, 1),
         "hlo_gb_per_step": round(byts / 1e9, 2),
+        "hlo_logical_gb_per_step": round(logical_byts / 1e9, 2),
         "cost_analysis_gb_per_step": round(ca_bytes / 1e9, 2),
         "achieved_tflops": round(tflops, 1),
         "achieved_gbs": round(gbs, 1),

@@ -55,9 +55,36 @@ def test_entry_ledger_on_compiled_hlo():
     total = sum(r[2] for r in rows)
     # At least the dot operands + result must be charged.
     assert total >= (128 * 64 + 64 * 32 + 128 * 32) * 4
-    for name, opcode, nbytes, _op in rows:
+    for name, opcode, nbytes, pbytes, _op in rows:
         assert opcode not in bl._FREE_OPS
         assert nbytes >= 0, (name, opcode)
+        # physical (tile-padded) can never be below logical for HBM bufs,
+        # but scoped-memory (VMEM/SMEM) buffers are physically free
+        assert pbytes >= 0, (name, opcode)
+
+
+def test_shape_pbytes_lane_padding():
+    # (…, 64) bf16: minor dim pads to the 128-lane tile -> 2x logical
+    s = "bf16[8,100,64]{2,1,0:T(8,128)(2,1)}"
+    assert bl.shape_bytes(s) == 8 * 100 * 64 * 2
+    # minor 64->128, second-minor 100 -> pad to 16-mult (8x2 packed) = 112
+    assert bl.shape_pbytes(s) == 8 * 112 * 128 * 2
+    # perfectly tiled f32: physical == logical
+    assert bl.shape_pbytes("f32[4,8,128]{2,1,0:T(8,128)}") == 4 * 8 * 128 * 4
+    # non-row-major minor_to_major: dim 1 is minor (pads to 128),
+    # dim 2 is second-minor (pads to 8)
+    assert (bl.shape_pbytes("f32[4,100,5]{1,2,0:T(8,128)}")
+            == 4 * 128 * 8 * 4)
+
+
+def test_shape_pbytes_scoped_memory_free():
+    # VMEM (S(1)) and SMEM (S(2)) buffers cost no HBM traffic
+    assert bl.shape_pbytes("bf16[8,96,64]{1,2,0:T(8,128)(2,1)S(1)}") == 0
+    assert bl.shape_pbytes("u32[]{:S(2)}") == 0
+    # tuple mixing HBM and scoped leaves charges only the HBM leaf
+    assert (bl.shape_pbytes("(f32[8,128]{1,0:T(8,128)}, "
+                            "f32[8,128]{1,0:T(8,128)S(1)})")
+            == 8 * 128 * 4)
 
 
 def test_slice_charged_two_x_output():
