@@ -115,6 +115,16 @@ class ModelConfig:
     #                                projection) or "film" (bin-local convs
     #                                over the input grid, FiLM-modulated by
     #                                the hidden state — position-free).
+    #                                For folded conv trunks (g_stem_stride
+    #                                != (1,1)): "fold" = emit all (st,sf)
+    #                                sub-position mask logits per cell ON
+    #                                the folded grid (folded full-res input
+    #                                skip; depth-to-space only on the mask
+    #                                tensor) — no full-grid hidden tensor
+    #                                is materialized (round-5 physical
+    #                                ledger: the subpixel restore's <=33-ch
+    #                                full-grid tensors pad 4x to the
+    #                                128-lane tile).
     g_film_channels: int = 64      # width of the "film" head's dilated
     #                                bin-local conv stack
     g_film_fold: int = 8           # conv-trunk "film" head only: lane-packing

@@ -205,16 +205,23 @@ class MaskHead(nn.Module):
             out = nn.Dense(s * self.n_bins * mc, dtype=self.dtype)(h)
             out = out.reshape(*out.shape[:2], s, self.n_bins, mc)
             out = jnp.moveaxis(out, 2, 1)                       # (B,S,T,K,mc)
-        # Masks leave in f32 regardless of compute dtype: they multiply the
-        # complex STFT on the fidelity-critical path (BASELINE.json:5).
-        out = out.astype(jnp.float32)
-        if self.mask_type == "complex":
-            return jnp.tanh(out)                                # (B,S,T,K,2)
-        out = out[..., 0]                                       # (B,S,T,K)
-        if self.mask_activation == "softmax":
-            out = jax.nn.softmax(out, axis=1)                   # over slots
-            return out[:, :self.num_sources]       # drop the noise slot if any
-        return jax.nn.sigmoid(out)
+        return _mask_exit(out, self.mask_type, self.mask_activation,
+                          self.num_sources)
+
+
+def _mask_exit(out: jax.Array, mask_type: str, mask_activation: str,
+               num_sources: int) -> jax.Array:
+    """Shared mask nonlinearity exit: (B, S[+slot], T, K, mc) logits ->
+    masks.  f32 regardless of compute dtype: masks multiply the complex
+    STFT on the fidelity-critical path (BASELINE.json:5)."""
+    out = out.astype(jnp.float32)
+    if mask_type == "complex":
+        return jnp.tanh(out)                                # (B,S,T,K,2)
+    out = out[..., 0]                                       # (B,S,T,K)
+    if mask_activation == "softmax":
+        out = jax.nn.softmax(out, axis=1)                   # over slots
+        return out[:, :num_sources]            # drop the noise slot if any
+    return jax.nn.sigmoid(out)
 
 
 @register_generator("toy")
@@ -267,10 +274,24 @@ def _conv(cfg):
             f"g_stem_mode must be 'conv' or 'fold', "
             f"got {cfg.model.g_stem_mode!r}"
         )
-    if cfg.model.g_head_mode not in ("dense", "interp", "film"):
+    if cfg.model.g_head_mode not in ("dense", "interp", "film", "fold"):
         raise ValueError(
-            f"conv g_head_mode must be 'dense', 'interp' or 'film', "
-            f"got {cfg.model.g_head_mode!r}"
+            f"conv g_head_mode must be 'dense', 'interp', 'film' or "
+            f"'fold', got {cfg.model.g_head_mode!r}"
+        )
+    if (cfg.model.g_head_mode == "fold"
+            and tuple(cfg.model.g_stem_stride) == (1, 1)):
+        raise ValueError(
+            "g_head_mode='fold' emits masks from the stem-folded grid — "
+            "it needs g_stem_stride != (1, 1) (and g_stem_mode='fold' for "
+            "the lossless relayout)"
+        )
+    if (cfg.model.g_head_mode == "fold"
+            and cfg.dsp.feature_dim != cfg.dsp.n_bins):
+        raise ValueError(
+            "g_head_mode='fold' needs linear-grid input features "
+            f"(feature_dim {cfg.dsp.feature_dim} != n_bins "
+            f"{cfg.dsp.n_bins})"
         )
     if (cfg.model.g_head_mode == "film"
             and cfg.dsp.feature_dim != cfg.dsp.n_bins):
@@ -446,6 +467,48 @@ class ConvUNetGenerator(nn.Module):
             x = nn.Conv(cd, (3, 3), dtype=self.dtype)(x)
             x = nn.leaky_relu(x, self.leak)
             x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        if (st, sf) != (1, 1) and self.head_mode == "fold":
+            # Folded head (round 5): mask synthesis stays ON the folded
+            # grid — no full-grid hidden tensor is ever materialized.  The
+            # full-res input skip enters FOLDED (the same lossless
+            # space-to-depth the stem used), so per-bin detail survives as
+            # cell channels; the head emits every (st, sf) sub-position's
+            # mask logits per cell (period-(st,sf) weight sharing — the
+            # packed-film positional convention) and depth-to-space
+            # restores resolution on the MASK tensor only, which XLA lays
+            # out T-minor (measured — no lane padding).  Motivation: with
+            # the subpixel-restore head the restored full-grid tensors are
+            # <=33-channel, padding 4x to the 128-lane tile; the round-5
+            # physical ledger charged the restore+head path ~15 GB/step of
+            # music's 45.8 at fold(1,2)c128 — more than the folded trunk.
+            pt, pf = -t_in % st, -f_in % sf
+            xf = jnp.pad(x_full, ((0, 0), (0, pt), (0, pf), (0, 0)))
+            b2, tp, fp, _ = xf.shape
+            xf = xf.reshape(b2, tp // st, st, fp // sf, sf, 1)
+            xf = xf.transpose(0, 1, 3, 2, 4, 5).reshape(
+                b2, tp // st, fp // sf, st * sf)
+            x = jnp.concatenate([x, xf.astype(self.dtype)], axis=-1)
+            # Same per-bin capacity budget as the restore path (c0 per bin):
+            c0 = min(self.channels[0], 32)
+            x = nn.Conv(c0 * st * sf, (1, 1), dtype=self.dtype)(x)
+            x = nn.leaky_relu(x, self.leak)
+            s_slots = self.num_sources + (
+                1 if (self.noise_slot and self.mask_activation == "softmax"
+                      and self.mask_type == "magnitude") else 0)
+            mc = mask_channels(self.mask_type)
+            out = nn.Conv(st * sf * s_slots * mc, (1, 1),
+                          dtype=self.dtype)(x)
+            out = out.reshape(b2, tp // st, fp // sf, st, sf, s_slots, mc)
+            out = out.transpose(0, 1, 3, 2, 4, 5, 6).reshape(
+                b2, tp, fp, s_slots, mc)
+            out = out[:, :t_in, :f_in]
+            out = jnp.moveaxis(out, 3, 1)                  # (B,S,T,K,mc)
+            masks = _mask_exit(out, self.mask_type, self.mask_activation,
+                               self.num_sources)
+            if crop:
+                masks = jnp.concatenate(
+                    [masks, masks[:, :, :, -1:]], axis=3)
+            return masks
         if (st, sf) != (1, 1) and self.head_mode != "film":
             # Subpixel head: restore the full (T, F) grid from the stem-
             # reduced one — a 1x1 conv emits st*sf sub-positions per cell.

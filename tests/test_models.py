@@ -581,3 +581,77 @@ def test_phase_ct_generator_matches_default():
     m_ref = np.asarray(g_ref.apply(params, feats))
     m_phase = np.asarray(g_phase.apply(params_p, feats))
     np.testing.assert_allclose(m_phase, m_ref, atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("stem,crop", [((1, 2), False), ((1, 2), True),
+                                       ((2, 2), False)])
+def test_conv_generator_fold_head(stem, crop):
+    """g_head_mode='fold' (round 5): masks synthesized ON the folded grid
+    (folded full-res skip, depth-to-space on the mask tensor only) — full
+    (T, K) mask contract, tanh-bounded, finite grads, incl. odd T/F and
+    the crop_nyquist composition."""
+    cfg = config.get_config("music_complex_44k")
+    cfg = cfg.replace(
+        data=cfg.data.__class__(**{**cfg.data.__dict__,
+                                   "segment_seconds": 0.1}),
+        model=cfg.model.__class__(**{**cfg.model.__dict__,
+                                     "g_stem_stride": stem,
+                                     "g_stem_mode": "fold",
+                                     "g_head_mode": "fold",
+                                     "g_crop_nyquist": crop,
+                                     "g_channels": (8, 16)}),
+    )
+    g = models.build_generator(cfg)
+    feats = _feats(cfg)
+    params = g.init(jax.random.PRNGKey(0), feats)
+    masks = g.apply(params, feats)
+    s, k = cfg.data.num_sources, cfg.dsp.n_bins
+    assert masks.shape == (2, s, cfg.num_frames, k, 2)
+    assert np.abs(np.asarray(masks)).max() <= 1.0 + 1e-6
+    # NO full-grid hidden tensor: every param tensor lives on the folded
+    # grid, so the largest conv kernel input channel count stays bounded
+    # (the restore path would create a (st*sf*c0)-channel full-grid conv).
+    def loss(p):
+        return jnp.sum(g.apply(p, feats) ** 2)
+
+    grads = jax.grad(loss)(params)
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert leaves and all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
+def test_fold_head_magnitude_softmax_noise_slot():
+    """The fold head honors the magnitude/softmax exit incl. the discarded
+    noise slot (masks sum to 1 over real sources after the slot drop —
+    i.e. <= 1 with the slot absorbing the rest)."""
+    cfg = config.get_config("3src_pit")
+    cfg = cfg.replace(
+        data=cfg.data.__class__(**{**cfg.data.__dict__,
+                                   "segment_seconds": 0.2}),
+        dsp=cfg.dsp.__class__(**{**cfg.dsp.__dict__,
+                                 "feature": "logmag",
+                                 "mask_noise_slot": True}),
+        model=cfg.model.__class__(**{**cfg.model.__dict__,
+                                     "generator": "conv",
+                                     "g_stem_stride": (1, 2),
+                                     "g_stem_mode": "fold",
+                                     "g_head_mode": "fold",
+                                     "g_channels": (8, 16)}),
+    )
+    g = models.build_generator(cfg)
+    feats = _feats(cfg)
+    params = g.init(jax.random.PRNGKey(0), feats)
+    masks = g.apply(params, feats)
+    s, k = cfg.data.num_sources, cfg.dsp.n_bins
+    assert masks.shape == (2, s, cfg.num_frames, k)
+    m = np.asarray(masks)
+    assert m.min() >= 0.0
+    # slot dropped: real-source masses sum to <= 1 everywhere
+    assert (m.sum(axis=1) <= 1.0 + 1e-5).all()
+
+
+def test_fold_head_requires_stem():
+    cfg = config.get_config("music_complex_44k")
+    bad = cfg.replace(model=cfg.model.__class__(**{
+        **cfg.model.__dict__, "g_head_mode": "fold"}))
+    with pytest.raises(ValueError, match="g_stem_stride"):
+        models.build_generator(bad)
