@@ -355,78 +355,55 @@ def test_streaming_perm_hysteresis_near_silent_overlap():
 def test_streaming_silent_gap_end_to_end(monkeypatch):
     """End-to-end hard-material chaining (VERDICT r4 item 5): an
     order-UNSTABLE separator (PIT nets have no canonical source order per
-    chunk) + a silent gap spanning several chunk boundaries.  Both streaming
-    paths must emit a swap-free stream: loud boundaries are fixed by the
-    overlap evidence, and the silent gap — where evidence vanishes — must
-    not flip sources (hysteresis keeps the previous assignment)."""
-    import jax.numpy as jnp
+    chunk) + a noisy pause spanning several chunk boundaries.  Both
+    streaming paths must emit a swap-free stream: loud boundaries are fixed
+    by the overlap evidence, and inside the gap — where evidence vanishes —
+    hysteresis keeps the previous assignment."""
+    from _streaming_gap_scenario import (
+        gap_assignment, make_scenario, make_stub_separate, run_scan_path)
 
     from gan_sass_tf_tpu.infer import streaming as streaming_mod
-    from gan_sass_tf_tpu.infer.streaming import (
-        build_streaming_scan_fn, separate_streaming)
+    from gan_sass_tf_tpu.infer.streaming import separate_streaming
 
     cfg = _cfg()
-    sr = cfg.dsp.sample_rate
-    t = 4 * sr
-    tt = np.arange(t) / sr
-    low = np.sin(2 * np.pi * 300 * tt).astype(np.float32)
-    high = 0.5 * np.sin(2 * np.pi * 2500 * tt).astype(np.float32)
-    # Silent middle: both sources pause for ~1.2 s (many chunk boundaries
-    # at chunk_seconds ~= stream default; pauses-in-noise failure mode).
-    gate = np.ones(t, np.float32)
-    gate[int(1.4 * sr):int(2.6 * sr)] = 0.0
-    low *= gate
-    high *= gate
-    mixture = low + high
-
-    def stub_separate(g_params, chunks):
-        """Band-split 'separator' whose OUTPUT ORDER depends on chunk
-        content parity — a deterministic stand-in for PIT arbitrariness."""
-        spec = jnp.fft.rfft(chunks, axis=-1)
-        k = spec.shape[-1]
-        cut = int(k * 1200 / (sr / 2)) // 2
-        lo = jnp.fft.irfft(spec.at[:, cut:].set(0), chunks.shape[-1],
-                           axis=-1).astype(jnp.float32)
-        hi = (chunks - lo).astype(jnp.float32)
-        # order flips with a content hash (per-chunk pseudo-arbitrary)
-        flip = (jnp.sum(jnp.abs(chunks), axis=-1) * 1e3) % 2.0 > 1.0
-        a = jnp.where(flip[:, None], hi, lo)
-        b = jnp.where(flip[:, None], lo, hi)
-        return jnp.stack([a, b], axis=1)
-
-    def check(out):
-        assert out.shape == (2, t)
-        # Swap-free stream <=> each source correlates with ONE tone over
-        # BOTH loud sections (before and after the gap).
-        for seg in (slice(int(0.2 * sr), int(1.2 * sr)),
-                    slice(int(2.8 * sr), int(3.8 * sr))):
-            c = np.corrcoef(np.vstack([out[:, seg], low[None, seg],
-                                       high[None, seg]]))
-            # identify which output is the low tone in the FIRST segment
-            sim_low = np.abs(c[0, 2]), np.abs(c[1, 2])
-            i_low = int(np.argmax(sim_low))
-            assert np.abs(c[i_low, 2]) > 0.9, c
-            assert np.abs(c[1 - i_low, 3]) > 0.9, c
-            # and the assignment must be the SAME in both segments
-            if seg.start < sr:
-                first_i_low = i_low
-            else:
-                assert i_low == first_i_low, "sources swapped across the gap"
+    mixture, low, high, t, sr = make_scenario(cfg)
+    stub_separate = make_stub_separate(sr)
 
     # Batch path: stub injected via the separate_fn override.
-    out = separate_streaming(None, cfg, mixture, separate_fn=stub_separate)
-    check(np.asarray(out))
+    out = np.asarray(separate_streaming(None, cfg, mixture,
+                                        separate_fn=stub_separate))
+    assert out.shape == (2, t)
+    i0, i1 = gap_assignment(out, low, high, sr)
+    assert i0 == i1, "batch path: sources swapped across the gap"
 
     # Scan path: stub injected by patching build_separate_fn.
     monkeypatch.setattr(streaming_mod, "build_separate_fn",
                         lambda cfg_, g_: stub_separate)
-    scan_fn = build_streaming_scan_fn(cfg, g=None)
-    from gan_sass_tf_tpu.infer.streaming import _chunk_geometry
-    chunk, stride, overlap, n_chunks, padded, ext = _chunk_geometry(cfg, t)
-    idx = (np.arange(n_chunks)[:, None] * stride
-           + np.arange(chunk + ext)[None, :])
-    wav = np.pad(mixture, (0, padded - t))
-    segs, tail = scan_fn(None, jnp.asarray(wav[idx]))
-    full = np.moveaxis(np.asarray(segs), 1, 0).reshape(2, -1)
-    full = np.concatenate([full, np.asarray(tail)], axis=-1)
-    check(full[:, :t])
+    full = run_scan_path(cfg, mixture, t)
+    i0, i1 = gap_assignment(full, low, high, sr)
+    assert i0 == i1, "scan path: sources swapped across the gap"
+
+
+def test_streaming_hysteresis_zero_flips_in_noisy_gap(monkeypatch):
+    """Negative control (VERDICT r4 item 5: the knob's value must be
+    measurable end-to-end): the SAME scenario with perm_hysteresis=0 DOES
+    flip sources mid-gap on the scan path — noise-level L2 differences win
+    the argmin without the margin.  If this test starts passing with a
+    zero margin, the positive test above has stopped proving anything."""
+    from _streaming_gap_scenario import (
+        gap_assignment, make_scenario, make_stub_separate, run_scan_path)
+
+    from gan_sass_tf_tpu.infer import streaming as streaming_mod
+
+    cfg = _cfg()
+    cfg = cfg.replace(stream=cfg.stream.__class__(**{
+        **cfg.stream.__dict__, "perm_hysteresis": 0.0}))
+    mixture, low, high, t, sr = make_scenario(cfg)
+    monkeypatch.setattr(streaming_mod, "build_separate_fn",
+                        lambda cfg_, g_: make_stub_separate(sr))
+    full = run_scan_path(cfg, mixture, t)
+    i0, i1 = gap_assignment(full, low, high, sr, require_clean=False)
+    assert i0 != i1, (
+        "expected a mid-gap source flip with hysteresis disabled — the "
+        "negative control no longer provokes the failure mode"
+    )
