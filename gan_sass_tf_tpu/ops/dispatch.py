@@ -93,17 +93,20 @@ def _resolve(backend: str, n_fft: int, hop: int) -> str:
     # faster than the XLA stft+istft chain on v5e at the wsj0 geometry,
     # with ≤1e-6-level fidelity.
     #
-    # Sub-128 hops that divide 128 (e.g. the hop-64 toy config) are COVERED
-    # by the phased decomposition (kernels at hop*m = 128, frames
-    # interleaved/recombined outside) behind backend="pallas" /
-    # force_backend — but auto keeps XLA there: measured on v5e at the toy
-    # geometry (n_fft 256, hop 64) the phased path is ~1.5x slower than
-    # XLA's small-FFT chain (phase overhead dominates tiny kernels).
+    # Sub-128 hops that divide 128 are COVERED by the phased decomposition
+    # (kernels at hop*m = 128, frames interleaved/recombined outside).  The
+    # measured auto boundary on v5e (scripts/bench_dsp_phased.py): at n_fft
+    # 256 / hop 64 the phased path is ~1.5x SLOWER than XLA's small-FFT
+    # chain (phase overhead dominates tiny kernels); at n_fft 512 / hop 64
+    # it is 1.45x FASTER (per-kernel matmul-DFT work amortizes the
+    # interleave).  Auto therefore takes phased Pallas only from n_fft 512
+    # up; smaller n_fft stays on XLA (backend="pallas"/force_backend still
+    # reach the phased path anywhere in its envelope).
     if (
         _on_tpu()
         and n_fft % hop == 0
         and n_fft <= 1024
-        and hop % 128 == 0
+        and (hop % 128 == 0 or (128 % hop == 0 and n_fft >= 512))
         and _have_pallas_kernels()
     ):
         return "pallas"

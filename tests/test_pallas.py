@@ -281,6 +281,21 @@ def test_dispatch_never_picks_pallas_on_cpu():
     assert dispatch._resolve("auto", 256, 128) == "xla"
 
 
+def test_dispatch_auto_phased_boundary(monkeypatch):
+    """Round-5 measured auto boundary (scripts/bench_dsp_phased.py on v5e):
+    sub-128 hops route to the phased Pallas path from n_fft 512 up (1.45x
+    faster than XLA there) and stay on XLA below it (1.5x slower at 256)."""
+    from gan_sass_tf_tpu.ops import dispatch
+
+    monkeypatch.setattr(dispatch, "_on_tpu", lambda: True)
+    assert dispatch._resolve("auto", 512, 64) == "pallas"   # measured win
+    assert dispatch._resolve("auto", 1024, 64) == "pallas"
+    assert dispatch._resolve("auto", 256, 64) == "xla"      # measured loss
+    assert dispatch._resolve("auto", 512, 128) == "pallas"  # direct path
+    assert dispatch._resolve("auto", 512, 96) == "xla"      # 96 ∤ 128
+    assert dispatch._resolve("auto", 2048, 512) == "xla"    # VMEM cap
+
+
 def test_phased_dispatch_sub128_hop_stft(rng):
     """VERDICT r1 weak 6: hop 64 (the toy preset) now reaches Pallas via
     the phased decomposition (kernels at hop*m = 128, frames interleaved).
