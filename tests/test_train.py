@@ -234,8 +234,15 @@ def test_complex_mask_learns_separation():
     times across rounds 2-3 (always this test, only under a long
     in-process suite on the 1-CPU box) — isolation turns a suite-killing
     abort into a plain test failure and sidesteps the in-process state
-    accumulation that correlates with it."""
+    accumulation that correlates with it.
+
+    The subprocess runs SINGLE-device: it would otherwise inherit the
+    conftest's 8-virtual-device XLA_FLAGS, and an 8-way all-reduce on an
+    oversubscribed host can blow XLA-CPU's fixed 40 s collective
+    rendezvous deadline (observed round 5: 6/8 threads arrived, F-abort).
+    This test is about LEARNING; DP equivalence has its own tests."""
     import os
+    import re
     import subprocess
     import sys as _sys
 
@@ -267,9 +274,13 @@ ev = exp.evaluate(num_batches=2)
 print("SI_SDRI_RESULT", ev["si_sdr_improvement"])
 """
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = re.sub(
+        r"--xla_force_host_platform_device_count=\d+", "",
+        env.get("XLA_FLAGS", ""))
     proc = subprocess.run(
         [_sys.executable, "-c", code], cwd=repo, timeout=900,
-        capture_output=True, text=True,
+        capture_output=True, text=True, env=env,
     )
     assert proc.returncode == 0, f"stderr:\n{proc.stderr[-3000:]}"
     si = float(proc.stdout.split("SI_SDRI_RESULT")[-1])
