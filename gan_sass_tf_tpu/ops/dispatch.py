@@ -50,8 +50,32 @@ def _have_pallas_kernels() -> bool:
 # kernel faults the TPU worker (see CLAUDE.md) — validate BEFORE pallas_call.
 _PALLAS_MAX_NFFT = 1024
 
+# The iSTFT-side kernels (pallas_istft.py) grid over batch×source only and
+# stage the WHOLE frame axis per grid cell (the diagonal OLA needs its
+# neighbours resident); their VMEM footprint therefore grows linearly with
+# n_frames.  The STFT-side kernels tile frames (tile_f) and are
+# length-independent.  Past the scoped-VMEM limit the TPU compiler rejects
+# the kernel ("Ran out of memory in memory space vmem" — observed round 5
+# at a 2 215-frame one-shot stream separate, 28.1 M vs the 16 M cap), so
+# auto-routes long inputs to the XLA path instead of submitting them.
+_ISTFT_VMEM_CAP_BYTES = 12 * 2**20  # conservative vs the 16 M scoped limit
 
-def _check_pallas_geometry(n_fft: int, hop: int) -> None:
+
+def _istft_vmem_bytes(f: int, n_fft: int, hop: int) -> int:
+    """Rough (deliberately conservative) estimate of the masked-iSTFT
+    kernel's per-grid-cell VMEM: double-buffered spec (Cr, Ci) + mask blocks
+    of (f, k_pad) f32, DFT matrices, env + output rows.  Within ~15% of the
+    compiler's scoped-allocation report at the observed failure geometry."""
+    k_pad = -(-(n_fft // 2 + 1) // 128) * 128
+    r = max(n_fft // hop, 1)
+    spec_mask = 3 * f * k_pad * 4          # Cr + Ci + one source's mask
+    dft = 2 * r * k_pad * hop * 4
+    rows = 2 * (f + r) * hop * 4           # inv-env + output
+    return 2 * spec_mask + dft + 2 * rows  # ×2 = pipeline double-buffering
+
+
+def _check_pallas_geometry(n_fft: int, hop: int,
+                           n_frames: Optional[int] = None) -> None:
     """Raise a clean ValueError when an explicitly-requested Pallas backend
     (config dsp.backend="pallas" or force_backend) is outside the envelope
     the kernels were built for (VERDICT r2 item 4: a user-reachable config
@@ -68,6 +92,16 @@ def _check_pallas_geometry(n_fft: int, hop: int) -> None:
             f"hop={hop} neither a multiple nor a divisor of 128 "
             "(TPU 128-lane tiling)"
         )
+    if n_frames is not None:
+        m = 128 // hop if (hop % 128 != 0 and 128 % hop == 0) else 1
+        est = _istft_vmem_bytes(-(-n_frames // m), n_fft, hop * m)
+        if est > _ISTFT_VMEM_CAP_BYTES:
+            problems.append(
+                f"n_frames={n_frames} stages ~{est >> 20} MB of scoped VMEM "
+                f"in the iSTFT kernel (cap ~{_ISTFT_VMEM_CAP_BYTES >> 20} MB;"
+                " the OLA kernel holds the whole frame axis per example) — "
+                "chunk the input (infer.streaming) or use backend='xla'"
+            )
     if problems:
         raise ValueError(
             "Pallas DSP backend requested for an unsupported geometry: "
@@ -79,14 +113,18 @@ def _check_pallas_geometry(n_fft: int, hop: int) -> None:
         )
 
 
-def _resolve(backend: str, n_fft: int, hop: int) -> str:
+def _resolve(backend: str, n_fft: int, hop: int,
+             n_frames: Optional[int] = None) -> str:
+    """n_frames: pass the static frame count for iSTFT-side ops (their
+    kernels stage the whole frame axis — see _istft_vmem_bytes); None for
+    STFT-side ops, whose kernels tile frames and are length-independent."""
     if _FORCED is not None:
         if _FORCED == "pallas":
-            _check_pallas_geometry(n_fft, hop)
+            _check_pallas_geometry(n_fft, hop, n_frames)
         return _FORCED
     if backend in ("xla", "pallas"):
         if backend == "pallas":
-            _check_pallas_geometry(n_fft, hop)
+            _check_pallas_geometry(n_fft, hop, n_frames)
         return backend
     # auto: Pallas wants TPU, divisible hop, DFT matrices that fit VMEM, and
     # 128-aligned hop (TPU memrefs are 128-lane tiled).  Measured ~1.9x
@@ -109,6 +147,11 @@ def _resolve(backend: str, n_fft: int, hop: int) -> str:
         and (hop % 128 == 0 or (128 % hop == 0 and n_fft >= 512))
         and _have_pallas_kernels()
     ):
+        if n_frames is not None:
+            m = 128 // hop if hop % 128 != 0 else 1
+            if (_istft_vmem_bytes(-(-n_frames // m), n_fft, hop * m)
+                    > _ISTFT_VMEM_CAP_BYTES):
+                return "xla"   # long one-shot input: OLA kernel over VMEM cap
         return "pallas"
     return "xla"
 
@@ -293,7 +336,7 @@ def istft(spec, n_fft: int, hop: int, window: str = "hann",
     window, pad = _win_encode(window, n_fft, win_length)
     if pad and length is None:
         length = (spec.shape[-2] - 1) * hop + win_length
-    if _resolve(backend, n_fft, hop) == "pallas":
+    if _resolve(backend, n_fft, hop, spec.shape[-2]) == "pallas":
         from gan_sass_tf_tpu.ops.pallas_istft import istft_pallas
 
         m = _phases(hop)
@@ -318,7 +361,7 @@ def masked_istft(spec, masks, n_fft: int, hop: int, window: str = "hann",
     window, pad = _win_encode(window, n_fft, win_length)
     if pad and length is None:
         length = (spec.shape[-2] - 1) * hop + win_length
-    if _resolve(backend, n_fft, hop) == "pallas":
+    if _resolve(backend, n_fft, hop, spec.shape[-2]) == "pallas":
         from gan_sass_tf_tpu.ops.pallas_istft import masked_istft_pallas
 
         m = _phases(hop)
