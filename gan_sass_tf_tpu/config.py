@@ -373,16 +373,27 @@ class StreamConfig:
     chunk_seconds: float = 1.0
     overlap_frames: int = 4        # cross-fade overlap, in STFT hops
     batch_chunks: int = 8          # chunks batched per pjit dispatch
-    perm_hysteresis: float = 1e-3  # chunk-to-chunk permutation chaining:
+    perm_hysteresis: float = 0.0   # chunk-to-chunk permutation chaining:
     #                                only switch away from the previous
     #                                chunk's source assignment when the L2
     #                                improvement exceeds this fraction of
-    #                                the overlap-strip energy.  A NEAR-SILENT
+    #                                the stream loudness.  A NEAR-SILENT
     #                                overlap gives the matcher no evidence —
     #                                without the margin, noise-level L2
-    #                                differences can flip sources mid-stream
-    #                                (the hard protocol's failure mode).
-    #                                0 restores pure-argmin matching.
+    #                                differences can flip sources mid-gap
+    #                                (mechanism tests in tests/test_infer.py).
+    #                                DEFAULT 0 (pure argmin) by MEASUREMENT:
+    #                                on the end-to-end hard gap protocol
+    #                                (scripts/stream_quality.py, BASELINE.md
+    #                                round 5) a real separator flips its own
+    #                                source->slot mapping per utterance;
+    #                                per-chunk re-matching repairs those
+    #                                flips (+1.56 dB, beats one-shot) while
+    #                                a 1e-3 margin locks the stale
+    #                                assignment across gaps (-2.3 dB batch /
+    #                                -3.5 dB scan vs argmin).  An argmin
+    #                                flip inside a silent gap is cheap and
+    #                                self-corrects at the next loud overlap.
 
 
 @dataclass(frozen=True)
